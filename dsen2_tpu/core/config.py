@@ -1,0 +1,99 @@
+"""Model / inference / training configuration dataclasses.
+
+Mirrors the reference's implicit configuration space:
+  - DSen2 (6 resblocks x 128 features) vs VDSen2 (32 x 256)
+    (reference: testing/supres.py:56,59; training/supres_train.py:130,133)
+  - 2x network (10m+20m -> 20m bands at 10m) vs 6x network (+60m inputs)
+  - patch/border geometry (reference: testing/supres.py:21-22,40-41)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the residual super-resolution CNN.
+
+    reference: utils/DSen2Net.py:18-43 (s2model), :9-15 (resBlock).
+    """
+
+    in_channels: Tuple[int, ...] = (4, 6)  # (10m bands, 20m bands[, 60m bands])
+    num_layers: int = 6
+    feature_size: int = 128
+    residual_scale: float = 0.1
+    # Output channels == channels of the LAST input (the LR bands being
+    # super-resolved); the global residual adds that input back
+    # (reference: utils/DSen2Net.py:35,38,41).
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels[-1]
+
+    @property
+    def total_in_channels(self) -> int:
+        return sum(self.in_channels)
+
+    @property
+    def run_60(self) -> bool:
+        return len(self.in_channels) == 3
+
+
+def dsen2_2x(deep: bool = False) -> ModelConfig:
+    """DSen2/VDSen2 2x (20m->10m) config (reference: testing/supres.py:26,56,59)."""
+    return ModelConfig(
+        in_channels=(4, 6),
+        num_layers=32 if deep else 6,
+        feature_size=256 if deep else 128,
+    )
+
+
+def dsen2_6x(deep: bool = False) -> ModelConfig:
+    """DSen2_60/VDSen2_60 6x (60m->10m) config (reference: testing/supres.py:46,56,59)."""
+    return ModelConfig(
+        in_channels=(4, 6, 2),
+        num_layers=32 if deep else 6,
+        feature_size=256 if deep else 128,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class InferConfig:
+    """Patch geometry + numerics for tiled inference.
+
+    Patch sizes/borders follow the reference inference API
+    (testing/supres.py:21-22 for 2x: 128/8; :40-41 for 6x: 192/12).
+    """
+
+    patch_size: int = 128  # on the 10m (HR) grid
+    border: int = 8  # on the 10m (HR) grid
+    batch_size: int = 64  # patches per device step
+    # "highest" keeps convolutions in true f32 (parity with the reference);
+    # "default" allows TPU bf16 MXU passes (fast path).
+    precision: str = "highest"
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference: training/supres_train.py:23-25,130-144,203-209)."""
+
+    lr: float = 1e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    schedule_decay: float = 0.004  # Keras-2 Nadam momentum schedule decay
+    batch_size: int = 128  # 8 for VDSen2 (reference :131,134)
+    epochs: int = 8 * 1024
+    # ReduceLROnPlateau (reference :203-209)
+    plateau_factor: float = 0.5
+    plateau_patience: int = 5
+    plateau_cooldown: int = 20
+    plateau_min_lr: float = 1e-5
+    plateau_min_delta: float = 1e-6
+    val_fraction: float = 0.1
+    seed: int = 0
+    model_nr: str = "s2_038_"
+    out_dir: Optional[str] = None

@@ -1,0 +1,242 @@
+"""DSen2 inference API: numpy HWC in -> numpy HWC out.
+
+Drop-in capability match for the reference inference API
+(testing/supres.py:15-50: DSen2_20 / DSen2_60), rebuilt as ONE jitted TPU
+program per image geometry:
+
+    symmetric pad -> per-chunk halo-patch gather -> per-patch bilinear
+    LR->HR upsample (MXU matmul) -> residual CNN -> border-crop ->
+    last-write-wins mosaic scatter
+
+The whole pipeline streams over patch chunks with `lax.scan`, so HBM holds
+only the padded inputs, one chunk of activations, and the output mosaic —
+a full 10980x10980 L1C tile fits a single chip. Patch geometry matches the
+reference exactly (patch 128 / border 8 on the 10 m grid for 2x,
+192 / 12 for 6x; testing/supres.py:21-22,40-41).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsen2_tpu.core.bands import SCALE
+from dsen2_tpu.core.config import InferConfig, ModelConfig, dsen2_2x, dsen2_6x
+from dsen2_tpu.models import s2net
+from dsen2_tpu.ops.resize import upsample_patches
+from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
+
+__all__ = ["dsen2_20", "dsen2_60", "sr_pipeline"]
+
+
+def _pad_to_multiple(arr: np.ndarray, mult: int) -> np.ndarray:
+    n = arr.shape[0]
+    rem = (-n) % mult
+    if rem == 0:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[-1:], rem, axis=0)], axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "infer_cfg", "grids", "out_hw", "scales"),
+)
+def sr_pipeline(
+    params,
+    inputs: Tuple[jax.Array, ...],
+    starts: jax.Array,  # [nb, B, n_inputs, 2] per-chunk per-input patch starts
+    positions: jax.Array,  # [nb, B, 2] output-space interior positions
+    *,
+    cfg: ModelConfig,
+    infer_cfg: InferConfig,
+    grids: Tuple[PatchGrid, ...],
+    out_hw: Tuple[int, int],
+    scales: Tuple[int, ...],
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Fused tiled super-resolution over `inputs` (HWC rasters, one per
+    resolution, finest first). Returns the [H, W, C_out] mosaic."""
+    p_hr = infer_cfg.patch_size
+    border = infer_cfg.border
+    interior = p_hr - 2 * border
+    compute_dtype = jnp.dtype(infer_cfg.compute_dtype)
+
+    # Pad every raster with its halo once; stays in HBM across the scan.
+    padded = []
+    for img, g in zip(inputs, grids):
+        b = g.border
+        padded.append(
+            jnp.pad(img.astype(compute_dtype), ((b, b), (b, b), (0, 0)), mode="symmetric")
+        )
+
+    inv_scale = jnp.asarray(1.0 / SCALE, compute_dtype)
+
+    def gather_chunk(chunk_starts):
+        """chunk_starts: [B, n_inputs, 2] -> tuple of [B, p, p, C] patches."""
+        outs = []
+        for idx, (pad_img, g) in enumerate(zip(padded, grids)):
+            c = pad_img.shape[-1]
+
+            def one(st, pad_img=pad_img, p=g.patch, c=c):
+                return jax.lax.dynamic_slice(pad_img, (st[0], st[1], 0), (p, p, c))
+
+            outs.append(jax.vmap(one)(chunk_starts[:, idx]))
+        return tuple(outs)
+
+    def chunk_step(mosaic, xs):
+        chunk_starts, chunk_pos = xs
+        patches = gather_chunk(chunk_starts)
+        # LR inputs -> HR grid via the reference's per-patch bilinear map.
+        net_in = [patches[0] * inv_scale]
+        for p_lr in patches[1:]:
+            net_in.append(upsample_patches(p_lr, (p_hr, p_hr)) * inv_scale)
+        pred = s2net.apply(params, net_in, cfg, precision=infer_cfg.precision)
+        pred = pred * jnp.asarray(SCALE, pred.dtype)
+        interiors = pred[:, border : p_hr - border, border : p_hr - border, :]
+        interiors = interiors.astype(mosaic.dtype)
+
+        def write(img, wxs):
+            patch, yx = wxs
+            return jax.lax.dynamic_update_slice(img, patch, (yx[0], yx[1], 0)), None
+
+        mosaic, _ = jax.lax.scan(write, mosaic, (interiors, chunk_pos))
+        return mosaic, None
+
+    mosaic0 = jnp.zeros((out_hw[0], out_hw[1], cfg.out_channels), dtype=out_dtype)
+    mosaic, _ = jax.lax.scan(chunk_step, mosaic0, (starts, positions))
+    return mosaic
+
+
+def _prepare_schedule(
+    grids: Sequence[PatchGrid], out_hw: Tuple[int, int], interior: int, batch: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Host-side static schedule: per-chunk patch starts for every input
+    raster plus output positions, padded to whole chunks by repeating the
+    final patch (a duplicate write of identical content — harmless)."""
+    starts_per_input = [g.flat_starts() for g in grids]
+    n = starts_per_input[0].shape[0]
+    for s in starts_per_input:
+        assert s.shape[0] == n, "all rasters must share the patch grid"
+    pos = recompose_positions(out_hw, interior)
+    assert pos.shape[0] == n, (pos.shape[0], n)
+
+    stacked = np.stack(starts_per_input, axis=1)  # [N, n_inputs, 2]
+    stacked = _pad_to_multiple(stacked, batch)
+    pos = _pad_to_multiple(pos, batch)
+    nb = stacked.shape[0] // batch
+    starts = stacked.reshape(nb, batch, len(grids), 2)
+    positions = pos.reshape(nb, batch, 2)
+    return starts, positions, nb
+
+
+def _validate_inputs(
+    rasters: Sequence[np.ndarray], lr_factor: int, cfg: ModelConfig, infer_cfg: InferConfig
+) -> None:
+    names = ("d10", "d20", "d60")[: len(rasters)]
+    h10, w10 = rasters[0].shape[:2]
+    for r, name, want_c in zip(rasters, names, cfg.in_channels):
+        if r.ndim != 3:
+            raise ValueError(f"{name}: expected an HWC array, got shape {r.shape}")
+        if r.shape[-1] != want_c:
+            raise ValueError(
+                f"{name}: expected {want_c} bands (got {r.shape[-1]}); band order "
+                "follows testing/supres.py:16-18,34-37 of the reference"
+            )
+        down = h10 // r.shape[0]
+        if down * r.shape[0] != h10 or down * r.shape[1] != w10 or lr_factor % max(down, 1):
+            raise ValueError(
+                f"{name} shape {r.shape[:2]} does not align with the 10m grid "
+                f"({h10}x{w10}): each raster must be an integer 1/2 or 1/6 of it"
+            )
+    # Every raster, once halo-padded, must hold at least one patch.
+    g_lr_patch = infer_cfg.patch_size // lr_factor
+    g_lr_border = infer_cfg.border // lr_factor
+    min_lr = g_lr_patch - 2 * g_lr_border
+    if rasters[-1].shape[0] < min_lr or rasters[-1].shape[1] < min_lr:
+        raise ValueError(
+            f"image too small for patch_size={infer_cfg.patch_size}/"
+            f"border={infer_cfg.border}: the coarsest raster is "
+            f"{rasters[-1].shape[:2]} but must be at least {min_lr}x{min_lr}; "
+            "pass a smaller InferConfig.patch_size"
+        )
+
+
+def _run(
+    rasters: Sequence[np.ndarray],
+    lr_factor: int,
+    cfg: ModelConfig,
+    params,
+    infer_cfg: InferConfig,
+) -> np.ndarray:
+    """Shared driver for the 2x/6x paths. rasters: finest-first HWC numpy."""
+    _validate_inputs(rasters, lr_factor, cfg, infer_cfg)
+    h10, w10 = rasters[0].shape[:2]
+    p_hr, b_hr = infer_cfg.patch_size, infer_cfg.border
+    # The patch grid lives on the coarsest raster (reference
+    # utils/patches.py:32-33 for 2x, :101-102 for 6x).
+    g_coarse = PatchGrid(
+        rasters[-1].shape[0], rasters[-1].shape[1], p_hr // lr_factor, b_hr // lr_factor
+    )
+    factors = [lr_factor // (h10 // r.shape[0]) for r in rasters]
+    grids = tuple(g_coarse.scaled(f) for f in factors)
+
+    interior = p_hr - 2 * b_hr
+    batch = min(infer_cfg.batch_size, grids[0].num_patches)
+    starts, positions, _ = _prepare_schedule(grids, (h10, w10), interior, batch)
+
+    out = sr_pipeline(
+        params,
+        tuple(jnp.asarray(np.ascontiguousarray(r), jnp.float32) for r in rasters),
+        jnp.asarray(starts),
+        jnp.asarray(positions),
+        cfg=cfg,
+        infer_cfg=infer_cfg,
+        grids=grids,
+        out_hw=(h10, w10),
+        scales=tuple(factors),
+    )
+    return np.asarray(out)
+
+
+def dsen2_20(
+    d10: np.ndarray,
+    d20: np.ndarray,
+    deep: bool = False,
+    params=None,
+    infer_cfg: Optional[InferConfig] = None,
+) -> np.ndarray:
+    """Super-resolve the six 20 m bands to 10 m.
+
+    d10: [H, W, 4] (B2, B3, B4, B8); d20: [H/2, W/2, 6]
+    (B5, B6, B7, B8A, B11, B12) — reference testing/supres.py:15-30.
+    """
+    cfg = dsen2_2x(deep)
+    infer_cfg = infer_cfg or InferConfig(patch_size=128, border=8)
+    if params is None:
+        from dsen2_tpu.weights import default_params
+
+        params = default_params(cfg, run_60=False, deep=deep)
+    return _run([d10, d20], 2, cfg, params, infer_cfg)
+
+
+def dsen2_60(
+    d10: np.ndarray,
+    d20: np.ndarray,
+    d60: np.ndarray,
+    deep: bool = False,
+    params=None,
+    infer_cfg: Optional[InferConfig] = None,
+) -> np.ndarray:
+    """Super-resolve the two 60 m bands (B1, B9) to 10 m
+    (reference testing/supres.py:33-50: patch 192, border 12)."""
+    cfg = dsen2_6x(deep)
+    infer_cfg = infer_cfg or InferConfig(patch_size=192, border=12)
+    if params is None:
+        from dsen2_tpu.weights import default_params
+
+        params = default_params(cfg, run_60=True, deep=deep)
+    return _run([d10, d20, d60], 6, cfg, params, infer_cfg)

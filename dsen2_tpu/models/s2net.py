@@ -1,0 +1,127 @@
+"""The DSen2 residual CNN family as a functional JAX model.
+
+Architecture parity with the reference (utils/DSen2Net.py:9-43):
+
+    x = concat(inputs, channel axis)
+    x = relu(conv3x3(x, F))                       # head
+    repeat L times:                               # resBlock
+        t = relu(conv3x3(x, F))
+        t = conv3x3(t, F) * 0.1
+        x = x + t
+    x = conv3x3(x, C_out)                         # tail
+    out = x + inputs[-1]                          # global residual over the
+                                                  # upsampled LR bands
+
+TPU-first choices (deliberately NOT a Keras translation):
+  - NHWC activations / HWIO kernels (the TPU-native conv layout; the
+    reference forces channels_first for cuDNN, utils/DSen2Net.py:6)
+  - residual blocks hold their parameters stacked on a leading layer axis and
+    run under `lax.scan` + optional rematerialisation, so VDSen2's 32 blocks
+    compile fast and fit HBM during training
+  - precision is explicit: Precision.HIGHEST (true f32 matmuls) on the parity
+    path, DEFAULT (bf16 MXU passes) as the opt-in fast path
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsen2_tpu.core.config import ModelConfig
+
+Params = Dict[str, Any]
+
+__all__ = ["init_params", "apply", "param_count", "stack_block_params"]
+
+
+def _he_uniform(key: jax.Array, shape: tuple[int, ...], dtype=jnp.float32) -> jax.Array:
+    """Keras 'he_uniform' init: U(-limit, limit), limit = sqrt(6 / fan_in),
+    fan_in = kh * kw * in_ch for HWIO kernels (reference layers use
+    kernel_initializer='he_uniform', utils/DSen2Net.py:10,12,29,35)."""
+    fan_in = int(np.prod(shape[:-1]))
+    limit = float(np.sqrt(6.0 / fan_in))
+    return jax.random.uniform(key, shape, dtype, minval=-limit, maxval=limit)
+
+
+def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Params:
+    """Fresh parameters. Layout:
+
+      head:   w [3,3,C_in,F],  b [F]
+      blocks: w1,b1,w2,b2 each stacked on a leading [L] axis
+      tail:   w [3,3,F,C_out], b [C_out]
+    """
+    f = cfg.feature_size
+    cin = cfg.total_in_channels
+    cout = cfg.out_channels
+    n_l = cfg.num_layers
+    keys = jax.random.split(key, 2 + 2 * n_l)
+
+    blocks_w1 = jnp.stack([_he_uniform(keys[1 + i], (3, 3, f, f), dtype) for i in range(n_l)])
+    blocks_w2 = jnp.stack(
+        [_he_uniform(keys[1 + n_l + i], (3, 3, f, f), dtype) for i in range(n_l)]
+    )
+    return {
+        "head": {"w": _he_uniform(keys[0], (3, 3, cin, f), dtype), "b": jnp.zeros((f,), dtype)},
+        "blocks": {
+            "w1": blocks_w1,
+            "b1": jnp.zeros((n_l, f), dtype),
+            "w2": blocks_w2,
+            "b2": jnp.zeros((n_l, f), dtype),
+        },
+        "tail": {"w": _he_uniform(keys[-1], (3, 3, f, cout), dtype), "b": jnp.zeros((cout,), dtype)},
+    }
+
+
+def stack_block_params(block_list: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack per-block {'w1','b1','w2','b2'} dicts onto a leading layer axis
+    (used by the Keras-HDF5 weight converter)."""
+    return {k: np.stack([b[k] for b in block_list]) for k in ("w1", "b1", "w2", "b2")}
+
+
+def _conv(x: jax.Array, w: jax.Array, b: jax.Array, precision) -> jax.Array:
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+    return y + b
+
+
+def apply(
+    params: Params,
+    inputs: Sequence[jax.Array],
+    cfg: ModelConfig,
+    *,
+    precision: str = "highest",
+    remat: bool = False,
+) -> jax.Array:
+    """Forward pass. inputs: tuple of NHWC arrays (x10, x20_up[, x60_up]),
+    all on the 10 m grid, already divided by SCALE. Returns NHWC prediction
+    of cfg.out_channels bands (still divided by SCALE)."""
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
+
+    x = jnp.concatenate(list(inputs), axis=-1)
+    x = jax.nn.relu(_conv(x, params["head"]["w"], params["head"]["b"], prec))
+
+    scale = jnp.asarray(cfg.residual_scale, x.dtype)
+
+    def block(x, p):
+        t = jax.nn.relu(_conv(x, p["w1"], p["b1"], prec))
+        t = _conv(t, p["w2"], p["b2"], prec)
+        return x + scale * t, None
+
+    block_fn = jax.checkpoint(block) if remat else block
+    x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+
+    x = _conv(x, params["tail"]["w"], params["tail"]["b"], prec)
+    return x + inputs[-1]
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

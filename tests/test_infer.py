@@ -1,0 +1,112 @@
+"""End-to-end inference parity: the fused jitted pipeline (extract ->
+upsample -> CNN -> mosaic) vs the step-by-step numpy-oracle pipeline that
+pins the reference semantics (testing/supres.py:15-50)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dsen2_tpu.core.bands import SCALE
+from dsen2_tpu.core.config import InferConfig, ModelConfig
+from dsen2_tpu.infer.api import _run
+from dsen2_tpu.models import s2net
+from dsen2_tpu.refimpl.model_np import apply_np
+from dsen2_tpu.refimpl.patches_np import (
+    get_test_patches60_np,
+    get_test_patches_np,
+    recompose_images_np,
+)
+
+
+def _oracle_sr_2x(params_np, d10, d20, patch_size, border, residual_scale=0.1):
+    """Reference pipeline, step by step in numpy (testing/supres.py:15-30)."""
+    p10, p20 = get_test_patches_np(d10, d20, patch_size=patch_size, border=border)
+    p10 = p10 / np.float32(SCALE)
+    p20 = p20 / np.float32(SCALE)
+    preds = np.stack(
+        [apply_np(params_np, (p10[i], p20[i]), residual_scale) for i in range(p10.shape[0])]
+    ).astype(np.float32)
+    return recompose_images_np(preds, border, d10.shape[:2]) * np.float32(SCALE)
+
+
+def _oracle_sr_6x(params_np, d10, d20, d60, patch_size, border, residual_scale=0.1):
+    p10, p20, p60 = get_test_patches60_np(d10, d20, d60, patch_size=patch_size, border=border)
+    p10, p20, p60 = (p / np.float32(SCALE) for p in (p10, p20, p60))
+    preds = np.stack(
+        [
+            apply_np(params_np, (p10[i], p20[i], p60[i]), residual_scale)
+            for i in range(p10.shape[0])
+        ]
+    ).astype(np.float32)
+    return recompose_images_np(preds, border, d10.shape[:2]) * np.float32(SCALE)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg_2x():
+    return ModelConfig(in_channels=(4, 6), num_layers=2, feature_size=16)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg_6x():
+    return ModelConfig(in_channels=(4, 6, 2), num_layers=2, feature_size=16)
+
+
+class TestPipelineParity2x:
+    def test_small_scene(self, rng, tiny_cfg_2x):
+        d10 = (rng.random((120, 108, 4)) * 8000).astype(np.float32)
+        d20 = (rng.random((60, 54, 6)) * 8000).astype(np.float32)
+        params = s2net.init_params(jax.random.PRNGKey(7), tiny_cfg_2x)
+        params_np = jax.tree_util.tree_map(np.asarray, params)
+
+        infer_cfg = InferConfig(patch_size=64, border=8, batch_size=4)
+        got = _run([d10, d20], 2, tiny_cfg_2x, params, infer_cfg)
+        want = _oracle_sr_2x(params_np, d10, d20, patch_size=64, border=8)
+        assert got.shape == (120, 108, 6)
+        # f32 conv + mosaic vs f64 oracle: values are O(8000)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=0.5)
+
+    def test_uneven_batch_padding(self, rng, tiny_cfg_2x):
+        """Patch count not divisible by batch: padded duplicate patches must
+        not corrupt the mosaic."""
+        d10 = (rng.random((96, 96, 4)) * 5000).astype(np.float32)
+        d20 = (rng.random((48, 48, 6)) * 5000).astype(np.float32)
+        params = s2net.init_params(jax.random.PRNGKey(8), tiny_cfg_2x)
+        infer_cfg_a = InferConfig(patch_size=64, border=8, batch_size=3)
+        infer_cfg_b = InferConfig(patch_size=64, border=8, batch_size=4)
+        a = _run([d10, d20], 2, tiny_cfg_2x, params, infer_cfg_a)
+        b = _run([d10, d20], 2, tiny_cfg_2x, params, infer_cfg_b)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=0.01)
+
+
+class TestPipelineParity6x:
+    def test_small_scene(self, rng, tiny_cfg_6x):
+        d10 = (rng.random((144, 144, 4)) * 8000).astype(np.float32)
+        d20 = (rng.random((72, 72, 6)) * 8000).astype(np.float32)
+        d60 = (rng.random((24, 24, 2)) * 8000).astype(np.float32)
+        params = s2net.init_params(jax.random.PRNGKey(9), tiny_cfg_6x)
+        params_np = jax.tree_util.tree_map(np.asarray, params)
+
+        infer_cfg = InferConfig(patch_size=96, border=6, batch_size=4)
+        got = _run([d10, d20, d60], 6, tiny_cfg_6x, params, infer_cfg)
+        want = _oracle_sr_6x(params_np, d10, d20, d60, patch_size=96, border=6)
+        assert got.shape == (144, 144, 2)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=0.5)
+
+
+class TestDemoScene:
+    def test_bundled_scene_runs(self, demo_scene_path, tiny_cfg_2x):
+        """Smoke: the bundled Malmö scene (600x600) runs through the public
+        API shape contract with a tiny model."""
+        from dsen2_tpu.data.mat import read_scene
+        from dsen2_tpu.infer.api import _run as run
+
+        scene = read_scene(demo_scene_path)
+        d10, d20 = scene["im10"], scene["im20"]
+        assert d10.shape == (600, 600, 4) and d20.shape == (300, 300, 6)
+        params = s2net.init_params(jax.random.PRNGKey(0), tiny_cfg_2x)
+        out = run(
+            [d10, d20], 2, tiny_cfg_2x, params, InferConfig(patch_size=128, border=8, batch_size=8)
+        )
+        assert out.shape == (600, 600, 6)
+        assert np.isfinite(out).all()

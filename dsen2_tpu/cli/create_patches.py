@@ -1,0 +1,170 @@
+"""Dataset-builder CLI: turn Sentinel-2 tiles into training/test patch
+archives using the Wald protocol.
+
+Capability match for training/create_patches.py (:19-330): four output modes
+(default random training patches, --test_data, --true_data, --write_images),
+--run_60, ROI selection snapped to 36 px, GNU-parallel-friendly (one tile per
+invocation). Inputs can be SAFE products (requires GDAL) or the bundled
+.mat demo scenes (works everywhere), plus .npz files with im10/im20/im60.
+
+Usage:
+  python -m dsen2_tpu.cli.create_patches DATA_FILE [--roi_x_y ...]
+      [--test_data] [--true_data] [--write_images] [--run_60]
+      [--save_prefix ../data/] [--seed N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_input(data_file: str, roi_x_y, run_60: bool):
+    """Returns (data10, data20, data60, roi_tuple_10m, tile_name)."""
+    if data_file.endswith(".mat"):
+        from dsen2_tpu.data.mat import read_scene
+
+        scene = read_scene(data_file)
+        d10, d20 = scene["im10"], scene["im20"]
+        d60 = scene.get("im60")
+        name = os.path.splitext(os.path.basename(data_file))[0] + ".SAFE"
+        roi = (0, 0, d10.shape[1], d10.shape[0])
+        return d10, d20, d60, roi, name
+    if data_file.endswith(".npz"):
+        z = np.load(data_file)
+        d10, d20 = z["im10"], z["im20"]
+        d60 = z["im60"] if "im60" in z else None
+        name = os.path.splitext(os.path.basename(data_file))[0] + ".SAFE"
+        roi = (0, 0, d10.shape[1], d10.shape[0])
+        return d10, d20, d60, roi, name
+
+    from dsen2_tpu.data.safe_reader import read_safe
+
+    xml = data_file
+    if os.path.isdir(data_file):
+        xml = os.path.join(data_file, "MTD_MSIL1C.xml")
+    tile = read_safe(xml, roi_x_y=roi_x_y, run_60=run_60, snap_grid=36)
+    name = os.path.basename(data_file.rstrip("/"))
+    roi = (tile.roi.xmin, tile.roi.ymin, tile.roi.xmax + 1, tile.roi.ymax + 1)
+    return tile.data10, tile.data20, tile.data60, roi, name
+
+
+def _save_band_png(path: str, data: np.ndarray) -> None:
+    """Percentile-stretched PNG (reference: create_patches.py:200-206)."""
+    try:
+        import imageio
+    except ImportError:
+        return
+    mi, ma = np.percentile(data, (1, 99))
+    img = np.clip(data, mi, ma)
+    img = (img - mi) / max(ma - mi, 1e-9)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    imageio.imsave(path, (img * 255).astype(np.uint8))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Create DSen2 training/test patches from Sentinel-2 data "
+        "(Wald protocol).",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    ap.add_argument("data_file", help="SAFE dir / MTD_MSIL1C.xml / .mat / .npz")
+    ap.add_argument("--roi_x_y", default="", help="x1,y1,x2,y2 on the 10m grid")
+    ap.add_argument("--test_data", action="store_true")
+    ap.add_argument("--true_data", action="store_true")
+    ap.add_argument("--write_images", action="store_true")
+    ap.add_argument("--run_60", action="store_true")
+    ap.add_argument("--save_prefix", default="../data/")
+    ap.add_argument("--seed", type=int, default=None, help="crop RNG seed")
+    args = ap.parse_args(argv)
+
+    roi_x_y = None
+    if args.roi_x_y:
+        roi_x_y = tuple(float(x) for x in args.roi_x_y.split(","))
+
+    d10, d20, d60, roi, name = _load_input(args.data_file, roi_x_y, args.run_60)
+    if args.run_60 and d60 is None:
+        print("--run_60 requires 60m bands in the input", file=sys.stderr)
+        return 1
+
+    blank = np.sum(d10[:, :, 0] < 1)
+    if blank > 0:
+        print("The selected image has some blank pixels")
+
+    import jax.numpy as jnp
+
+    from dsen2_tpu.data.patches_dataset import (
+        save_random_patches,
+        save_random_patches60,
+        save_test_patches,
+        save_test_patches60,
+    )
+    from dsen2_tpu.ops.resize import wald_downsample
+
+    def wald(img, f):
+        return np.asarray(wald_downsample(jnp.asarray(img, jnp.float32), f))
+
+    scale = 6 if args.run_60 else 2
+    if not args.true_data:
+        d10_lr = wald(d10, scale)
+        d20_lr = wald(d20, scale)
+        d60_lr = wald(d60, scale) if (args.run_60 and d60 is not None) else None
+
+    prefix = args.save_prefix
+
+    if args.test_data:
+        sub = "test60" if args.run_60 else "test"
+        out = os.path.join(prefix, sub, name)
+        os.makedirs(out, exist_ok=True)
+        print(f"Writing files for testing to: {out}")
+        if args.run_60:
+            save_test_patches60(d10_lr, d20_lr, d60_lr, out)
+            roi_s = [c // scale for c in roi]
+        else:
+            save_test_patches(d10_lr, d20_lr, out)
+            roi_s = [c // scale for c in roi]
+        with open(os.path.join(out, "roi.json"), "w") as f:
+            json.dump([roi_s[0], roi_s[1], roi_s[2], roi_s[3]], f)
+        nt = os.path.join(out, "no_tiling")
+        os.makedirs(nt, exist_ok=True)
+        if args.run_60:
+            np.save(os.path.join(nt, "data60_gt.npy"), d60.astype(np.float32))
+            np.save(os.path.join(nt, "data60.npy"), d60_lr.astype(np.float32))
+        else:
+            np.save(os.path.join(nt, "data20_gt.npy"), d20.astype(np.float32))
+        np.save(os.path.join(nt, "data10.npy"), d10_lr.astype(np.float32))
+        np.save(os.path.join(nt, "data20.npy"), d20_lr.astype(np.float32))
+    elif args.write_images:
+        _save_band_png(os.path.join(prefix, "raw", "rgbs", name + "RGB.png"), d10_lr[:, :, 0:3])
+        _save_band_png(os.path.join(prefix, "raw", "rgbs", name + "RGB20.png"), d20_lr[:, :, 0:3])
+    elif args.true_data:
+        out = os.path.join(prefix, "true", name)
+        os.makedirs(out, exist_ok=True)
+        print(f"Writing true-scale files to: {out}")
+        save_test_patches60(d10, d20, d60, out, patch_size=384, border=12)
+        with open(os.path.join(out, "roi.json"), "w") as f:
+            json.dump(list(roi), f)
+        nt = os.path.join(out, "no_tiling")
+        os.makedirs(nt, exist_ok=True)
+        for nm, arr in (("data10", d10), ("data20", d20), ("data60", d60)):
+            np.save(os.path.join(nt, nm + ".npy"), arr.astype(np.float32))
+    else:
+        sub = "train60" if args.run_60 else "train"
+        out = os.path.join(prefix, sub, name)
+        os.makedirs(out, exist_ok=True)
+        print(f"Writing files for training to: {out}")
+        if args.run_60:
+            save_random_patches60(d60, d10_lr, d20_lr, d60_lr, out, seed=args.seed)
+        else:
+            save_random_patches(d20, d10_lr, d20_lr, out, seed=args.seed)
+
+    print("Success.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,151 @@
+"""Training CLI.
+
+Capability match for training/supres_train.py's argument surface
+(:111-118): --predict WEIGHTS, --resume WEIGHTS, --true, --run_60, --deep,
+--path DIR — plus TPU-era extras (--epochs, --lr, --batch-size, --smoke).
+
+Fresh runs train DSen2 (6x128, batch 128) or VDSen2 (--deep: 32x256,
+batch 8) with Keras-2 Nadam + MAE, plateau LR, best-val checkpointing to
+<path>/network_data/{model_nr}lr_{lr:.0e}.hdf5 — the same layout/naming the
+reference uses, so archives and checkpoints interchange.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Train / batch-predict DSen2 networks.")
+    ap.add_argument("--predict", dest="predict_file", help="weights file; run batch prediction")
+    ap.add_argument("--resume", dest="resume_file", help="weights file; resume training")
+    ap.add_argument("--true", action="store_true", help="true-scale data (no simulation)")
+    ap.add_argument("--run_60", action="store_true", help="train the 6x (60m->10m) network")
+    ap.add_argument("--deep", action="store_true", help="VDSen2 (32 resblocks x 256)")
+    ap.add_argument("--path", default="./data/", help="data root")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--model-nr", default="s2_038_", help="7-char run prefix")
+    ap.add_argument("--smoke", action="store_true",
+                    help="2-epoch training on synthetic data (CI self-test)")
+    args = ap.parse_args(argv)
+
+    from dsen2_tpu.core.bands import SCALE
+    from dsen2_tpu.core.config import TrainConfig, dsen2_2x, dsen2_6x
+
+    cfg = (dsen2_6x if args.run_60 else dsen2_2x)(args.deep)
+    batch = args.batch_size or (8 if args.deep else 128)
+
+    if args.smoke:
+        rng = np.random.default_rng(0)
+        n = 64
+        shapes = [(n, 32, 32, c) for c in cfg.in_channels]
+        inputs = tuple(rng.random(s, dtype=np.float32) for s in shapes)
+        labels = rng.random((n, 32, 32, cfg.out_channels), dtype=np.float32)
+        tcfg = TrainConfig(lr=args.lr, batch_size=16, model_nr=args.model_nr,
+                           out_dir=os.path.join(args.path, "network_data"))
+        from dsen2_tpu.train.loop import fit
+
+        _, hist = fit(cfg, tcfg,
+                      tuple(a[:48] for a in inputs), labels[:48],
+                      tuple(a[48:] for a in inputs), labels[48:],
+                      epochs=2, verbose=True)
+        ok = np.isfinite(hist["loss"]).all()
+        print(f"smoke: loss {hist['loss'][0]:.4f} -> {hist['loss'][-1]:.4f} ok={ok}")
+        return 0 if ok else 1
+
+    if args.predict_file:
+        return _predict(args, cfg)
+
+    from dsen2_tpu.data.patches_dataset import open_data_files
+    from dsen2_tpu.train.loop import fit
+    from dsen2_tpu.weights import load_keras_weights
+
+    print("Loading the training data...")
+    train_in, train_lb, val_in, val_lb = open_data_files(args.path, args.run_60, SCALE)
+    print(f"Loaded {train_lb.shape[0]} train / {val_lb.shape[0]} val patches.")
+
+    params = None
+    model_nr = args.model_nr
+    if args.resume_file:
+        print(f"Resuming from {args.resume_file}")
+        params = load_keras_weights(args.resume_file, cfg)
+        base = os.path.basename(args.resume_file)
+        if len(base) >= 20:
+            model_nr = base[-20:-13]
+            print(f"Changing the model number to: {model_nr}")
+
+    tcfg = TrainConfig(
+        lr=args.lr, batch_size=batch, model_nr=model_nr,
+        out_dir=os.path.join(args.path, "network_data"),
+    )
+    _, hist = fit(cfg, tcfg, train_in, train_lb, val_in, val_lb,
+                  params=params, epochs=args.epochs,
+                  remat=args.deep)
+    return 0
+
+
+def _predict(args, cfg) -> int:
+    """Batch prediction over prepared test archives
+    (reference: supres_train.py:149-179)."""
+    import jax.numpy as jnp
+
+    from dsen2_tpu.core.bands import SCALE
+    from dsen2_tpu.data.patches_dataset import open_data_files_test
+    from dsen2_tpu.models import s2net
+    from dsen2_tpu.ops.tiling import recompose
+    from dsen2_tpu.weights import load_keras_weights
+
+    if args.true:
+        folder, border = "true/", 12
+    elif args.run_60:
+        folder, border = "test60/", 12
+    else:
+        folder, border = "test/", 4
+
+    base = os.path.basename(args.predict_file)
+    model_nr = base[-20:-13] if len(base) >= 20 else "predict"
+    print(f"Changing the model number to: {model_nr}")
+    params = load_keras_weights(args.predict_file, cfg)
+    print(f"Predicting using file: {args.predict_file}")
+
+    import jax
+
+    @jax.jit
+    def fwd(p, inputs):
+        return s2net.apply(p, inputs, cfg, precision="high")
+
+    dsets = sorted(glob.glob(os.path.join(args.path, folder, "*SAFE")))
+    if not dsets:
+        print(f"no test archives under {args.path}{folder}", file=sys.stderr)
+        return 1
+    for dset in dsets:
+        start = time.time()
+        print(f"Predicting: {os.path.basename(dset)}.")
+        inputs, image_size = open_data_files_test(dset, args.run_60, SCALE)
+        n = inputs[0].shape[0]
+        preds = []
+        bs = 8
+        for i in range(0, n, bs):
+            batch_in = tuple(jnp.asarray(a[i : i + bs]) for a in inputs)
+            preds.append(np.asarray(fwd(params, batch_in)))
+        prediction = np.concatenate(preds)
+        images = np.asarray(
+            recompose(jnp.asarray(prediction), border, (image_size[0], image_size[1]))
+        )
+        out = os.path.join(dset, model_nr + "-predict.npy")
+        print("Writing to file...")
+        np.save(out, images * SCALE)
+        print(f"Elapsed time: {time.time() - start}.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -70,9 +70,13 @@ class InferConfig:
     patch_size: int = 128  # on the 10m (HR) grid
     border: int = 8  # on the 10m (HR) grid
     batch_size: int = 64  # patches per device step
-    # "highest" keeps convolutions in true f32 (parity with the reference);
-    # "default" allows TPU bf16 MXU passes (fast path).
-    precision: str = "highest"
+    # Conv/matmul precision on TPU:
+    #   "highest" — true f32 (bitwise-closest to the reference; slowest)
+    #   "high"    — bf16x3 passes; measured ~3e-5 relative error on real
+    #               scenes (RMSE 0.08 on signal std 2450) at ~1.8x the speed
+    #               of "highest" -> the default
+    #   "default" — single bf16 pass; ~6e-3 relative (RMSE ~15): turbo mode
+    precision: str = "high"
     compute_dtype: str = "float32"
 
 

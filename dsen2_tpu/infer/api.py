@@ -171,8 +171,11 @@ def _run(
     cfg: ModelConfig,
     params,
     infer_cfg: InferConfig,
+    device_output: bool = False,
 ) -> np.ndarray:
-    """Shared driver for the 2x/6x paths. rasters: finest-first HWC numpy."""
+    """Shared driver for the 2x/6x paths. rasters: finest-first HWC numpy.
+    With device_output=True the mosaic stays on device (callers that chain
+    further device work or overlap host readback use this)."""
     _validate_inputs(rasters, lr_factor, cfg, infer_cfg)
     h10, w10 = rasters[0].shape[:2]
     p_hr, b_hr = infer_cfg.patch_size, infer_cfg.border
@@ -188,9 +191,14 @@ def _run(
     batch = min(infer_cfg.batch_size, grids[0].num_patches)
     starts, positions, _ = _prepare_schedule(grids, (h10, w10), interior, batch)
 
+    def stage(r):
+        if isinstance(r, jax.Array):
+            return r
+        return jnp.asarray(np.ascontiguousarray(r), jnp.float32)
+
     out = sr_pipeline(
         params,
-        tuple(jnp.asarray(np.ascontiguousarray(r), jnp.float32) for r in rasters),
+        tuple(stage(r) for r in rasters),
         jnp.asarray(starts),
         jnp.asarray(positions),
         cfg=cfg,
@@ -199,6 +207,8 @@ def _run(
         out_hw=(h10, w10),
         scales=tuple(factors),
     )
+    if device_output:
+        return out
     return np.asarray(out)
 
 

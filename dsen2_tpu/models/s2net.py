@@ -59,10 +59,13 @@ def init_params(key: jax.Array, cfg: ModelConfig, dtype=jnp.float32) -> Params:
     n_l = cfg.num_layers
     keys = jax.random.split(key, 2 + 2 * n_l)
 
-    blocks_w1 = jnp.stack([_he_uniform(keys[1 + i], (3, 3, f, f), dtype) for i in range(n_l)])
-    blocks_w2 = jnp.stack(
-        [_he_uniform(keys[1 + n_l + i], (3, 3, f, f), dtype) for i in range(n_l)]
-    )
+    def stacked(ks):
+        if n_l == 0:
+            return jnp.zeros((0, 3, 3, f, f), dtype)
+        return jnp.stack([_he_uniform(k, (3, 3, f, f), dtype) for k in ks])
+
+    blocks_w1 = stacked(keys[1 : 1 + n_l])
+    blocks_w2 = stacked(keys[1 + n_l : 1 + 2 * n_l])
     return {
         "head": {"w": _he_uniform(keys[0], (3, 3, cin, f), dtype), "b": jnp.zeros((f,), dtype)},
         "blocks": {
@@ -96,10 +99,15 @@ def apply(
     *,
     precision: str = "highest",
     remat: bool = False,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """Forward pass. inputs: tuple of NHWC arrays (x10, x20_up[, x60_up]),
     all on the 10 m grid, already divided by SCALE. Returns NHWC prediction
-    of cfg.out_channels bands (still divided by SCALE)."""
+    of cfg.out_channels bands (still divided by SCALE).
+
+    use_pallas routes the residual blocks through the fused Pallas kernel
+    (dsen2_tpu.ops.pallas.resblock) — one VMEM-resident pass per block
+    instead of two HBM-bound convolutions."""
     prec = {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
@@ -111,10 +119,27 @@ def apply(
 
     scale = jnp.asarray(cfg.residual_scale, x.dtype)
 
-    def block(x, p):
-        t = jax.nn.relu(_conv(x, p["w1"], p["b1"], prec))
-        t = _conv(t, p["w2"], p["b2"], prec)
-        return x + scale * t, None
+    if use_pallas:
+        from dsen2_tpu.ops.pallas.resblock import fused_resblock
+
+        h = x.shape[1]
+        tile_rows = max(t for t in (16, 8, 4, 2, 1) if h % t == 0)
+
+        def block(x, p):
+            return (
+                fused_resblock(
+                    x, p["w1"], p["b1"], p["w2"], p["b2"],
+                    scale=cfg.residual_scale, tile_rows=tile_rows,
+                ),
+                None,
+            )
+
+    else:
+
+        def block(x, p):
+            t = jax.nn.relu(_conv(x, p["w1"], p["b1"], prec))
+            t = _conv(t, p["w2"], p["b2"], prec)
+            return x + scale * t, None
 
     block_fn = jax.checkpoint(block) if remat else block
     x, _ = jax.lax.scan(block_fn, x, params["blocks"])

@@ -1,0 +1,118 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU mesh: DP batch sharding,
+TP feature sharding, sharded-vs-single numerical equivalence, and the driver
+entry points."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dsen2_tpu.core.config import ModelConfig
+from dsen2_tpu.models import s2net
+from dsen2_tpu.parallel import (
+    batch_sharding,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+    replicated,
+    shard_params,
+)
+from dsen2_tpu.train.nadam import nadam_keras
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return ModelConfig(in_channels=(4, 6), num_layers=2, feature_size=16)
+
+
+@pytest.fixture(scope="module")
+def data(cfg):
+    rng = np.random.default_rng(0)
+    x10 = jnp.asarray(rng.random((16, 16, 16, 4), np.float32))
+    x20 = jnp.asarray(rng.random((16, 16, 16, 6), np.float32))
+    tgt = jnp.asarray(rng.random((16, 16, 16, 6), np.float32))
+    return x10, x20, tgt
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = make_mesh()
+        assert m.shape["data"] == 8 and m.shape["model"] == 1
+        m2 = make_mesh(data=4, model=2)
+        assert m2.shape["data"] == 4 and m2.shape["model"] == 2
+        m3 = make_mesh(data=2, model=1)
+        assert m3.devices.size == 2
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(data=16, model=1)
+
+    def test_batch_sharding_spec(self):
+        m = make_mesh()
+        s = batch_sharding(m, 4)
+        assert s.spec[0] == "data"
+        assert all(p is None for p in s.spec[1:])
+
+
+class TestShardedTraining:
+    def test_dp_step_matches_unsharded(self, cfg, data):
+        x10, x20, tgt = data
+        params = s2net.init_params(jax.random.PRNGKey(0), cfg)
+        opt = nadam_keras(1e-3)
+
+        step_single = make_train_step(cfg, opt, mesh=None)
+        p1, s1, m1 = step_single(params, opt.init(params), (x10, x20), tgt)
+
+        mesh = make_mesh()
+        params_r = jax.device_put(params, replicated(mesh))
+        opt_state = jax.device_put(opt.init(params), replicated(mesh))
+        step_mesh = make_train_step(cfg, opt, mesh=mesh)
+        x10s = jax.device_put(x10, batch_sharding(mesh, 4))
+        x20s = jax.device_put(x20, batch_sharding(mesh, 4))
+        tgts = jax.device_put(tgt, batch_sharding(mesh, 4))
+        p8, s8, m8 = step_mesh(params_r, opt_state, (x10s, x20s), tgts)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+    def test_tp_sharded_params_same_loss(self, cfg, data):
+        """Feature-dim (model-parallel) sharding must not change the math."""
+        x10, x20, tgt = data
+        params = s2net.init_params(jax.random.PRNGKey(0), cfg)
+        mesh = make_mesh(data=4, model=2)
+        params_tp = shard_params(params, mesh, model_parallel=True)
+        ev = make_eval_step(cfg, mesh=mesh)
+        got = ev(params_tp, (x10, x20), tgt)
+        ev0 = make_eval_step(cfg, mesh=None)
+        want = ev0(params, (x10, x20), tgt)
+        np.testing.assert_allclose(float(got["loss"]), float(want["loss"]), rtol=1e-6)
+
+    def test_shard_params_places_on_model_axis(self, cfg):
+        params = s2net.init_params(jax.random.PRNGKey(0), cfg)
+        mesh = make_mesh(data=4, model=2)
+        tp = shard_params(params, mesh, model_parallel=True)
+        spec = tp["head"]["w"].sharding.spec
+        assert spec[-1] == "model"
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (8, 128, 128, 6)
+
+    @pytest.mark.parametrize("n", [8, 4, 1])
+    def test_dryrun_multichip(self, n):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(n)

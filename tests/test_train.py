@@ -1,0 +1,150 @@
+"""Training stack tests: Keras-2 Nadam parity vs torch.optim.NAdam (the same
+published algorithm), plateau-scheduler semantics, and a short end-to-end fit
+that must reduce loss and checkpoint, including on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dsen2_tpu.core.config import ModelConfig, TrainConfig
+from dsen2_tpu.models import s2net
+from dsen2_tpu.train.callbacks import ReduceLROnPlateau
+from dsen2_tpu.train.loop import fit
+from dsen2_tpu.train.nadam import nadam_keras
+
+
+class TestNadamParity:
+    def test_matches_torch_nadam(self):
+        """torch.optim.NAdam implements the same Dozat Nadam with the
+        0.96^t momentum-decay schedule Keras 2 uses; trajectories must
+        match to f32 tolerance over 50 steps."""
+        torch = pytest.importorskip("torch")
+
+        w0 = np.linspace(-1.0, 1.0, 12).astype(np.float32).reshape(3, 4)
+        grads_seq = [
+            np.cos(np.arange(12, dtype=np.float32) * (i + 1)).reshape(3, 4) * 0.3
+            for i in range(50)
+        ]
+
+        tw = torch.nn.Parameter(torch.tensor(w0.copy()))
+        topt = torch.optim.NAdam(
+            [tw], lr=1e-3, betas=(0.9, 0.999), eps=1e-8, momentum_decay=0.004
+        )
+        for g in grads_seq:
+            topt.zero_grad()
+            tw.grad = torch.tensor(g)
+            topt.step()
+
+        opt = nadam_keras(learning_rate=1e-3, schedule_decay=0.004)
+        params = jnp.asarray(w0)
+        state = opt.init(params)
+        for g in grads_seq:
+            updates, state = opt.update(jnp.asarray(g), state)
+            params = params + updates
+
+        np.testing.assert_allclose(
+            np.asarray(params), tw.detach().numpy(), rtol=2e-5, atol=2e-6
+        )
+
+    def test_descends_quadratic(self):
+        opt = nadam_keras(learning_rate=0.1)
+        x = jnp.asarray(5.0)
+        state = opt.init(x)
+        for _ in range(200):
+            g = 2.0 * x
+            upd, state = opt.update(g, state)
+            x = x + upd
+        assert abs(float(x)) < 1e-2
+
+
+class TestReduceLROnPlateau:
+    def test_reduces_after_patience(self):
+        sched = ReduceLROnPlateau(lr=1e-4, patience=3, cooldown=2, verbose=False)
+        lr = sched.step(1.0)
+        assert lr == 1e-4
+        for _ in range(3):
+            lr = sched.step(1.0)  # no improvement
+        assert lr == 5e-5
+
+    def test_cooldown_blocks_consecutive_reductions(self):
+        sched = ReduceLROnPlateau(lr=1e-4, patience=1, cooldown=5, verbose=False)
+        sched.step(1.0)
+        lr = sched.step(1.0)
+        assert lr == 5e-5
+        for _ in range(4):  # inside cooldown: no further reduction
+            lr = sched.step(1.0)
+        assert lr == 5e-5
+
+    def test_min_lr_floor(self):
+        sched = ReduceLROnPlateau(
+            lr=2e-5, patience=1, cooldown=0, min_lr=1e-5, verbose=False
+        )
+        sched.step(1.0)
+        for _ in range(10):
+            lr = sched.step(1.0)
+        assert lr == 1e-5
+
+    def test_improvement_resets_wait(self):
+        sched = ReduceLROnPlateau(lr=1e-4, patience=2, cooldown=0, verbose=False)
+        sched.step(1.0)
+        sched.step(1.0)  # wait=1
+        sched.step(0.5)  # improvement resets
+        lr = sched.step(0.5 + 1e-9)  # not an improvement; wait=1
+        assert lr == 1e-4
+
+
+class TestFit:
+    @pytest.fixture(scope="class")
+    def toy_data(self):
+        rng = np.random.default_rng(0)
+        n = 64
+        x10 = rng.random((n, 16, 16, 4), dtype=np.float32)
+        x20 = rng.random((n, 16, 16, 6), dtype=np.float32)
+        label = (x20 * 1.5 + 0.1).astype(np.float32)
+        return (x10[:48], x20[:48]), label[:48], (x10[48:], x20[48:]), label[48:]
+
+    def test_loss_decreases_and_checkpoints(self, toy_data, tmp_path):
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tcfg = TrainConfig(
+            lr=1e-3, batch_size=16, out_dir=str(tmp_path), model_nr="s2_999_"
+        )
+        tr_in, tr_lb, va_in, va_lb = toy_data
+        state, hist = fit(
+            cfg, tcfg, tr_in, tr_lb, va_in, va_lb, epochs=8, verbose=False, mesh=None
+        )
+        assert hist["loss"][-1] < hist["loss"][0]
+        assert (tmp_path / "s2_999_lr_1e-03.hdf5").exists()
+        assert (tmp_path / "s2_999_lr_1e-03.npz").exists()
+        assert (tmp_path / "s2_999__lr_1.0e-03.txt").exists()
+
+    def test_mesh_fit_matches_single(self, toy_data):
+        """DP over the 8-device CPU mesh must follow the same trajectory as
+        single-device (same batches, grads all-reduced)."""
+        from dsen2_tpu.parallel.mesh import make_mesh
+
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tcfg = TrainConfig(lr=1e-3, batch_size=16)
+        tr_in, tr_lb, va_in, va_lb = toy_data
+        _, h1 = fit(cfg, tcfg, tr_in, tr_lb, va_in, va_lb, epochs=3, verbose=False, mesh=None)
+        _, h8 = fit(
+            cfg, tcfg, tr_in, tr_lb, va_in, va_lb,
+            epochs=3, verbose=False, mesh=make_mesh(data=8),
+        )
+        np.testing.assert_allclose(h1["loss"], h8["loss"], rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(h1["val_loss"], h8["val_loss"], rtol=1e-4, atol=1e-6)
+
+    def test_resume_from_checkpoint(self, toy_data, tmp_path):
+        from dsen2_tpu.weights import load_keras_weights
+
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tcfg = TrainConfig(lr=1e-3, batch_size=16, out_dir=str(tmp_path), model_nr="s2_998_")
+        tr_in, tr_lb, va_in, va_lb = toy_data
+        fit(cfg, tcfg, tr_in, tr_lb, va_in, va_lb, epochs=2, verbose=False, mesh=None)
+        params = load_keras_weights(str(tmp_path / "s2_998_lr_1e-03.hdf5"), cfg)
+        state, hist = fit(
+            cfg, tcfg, tr_in, tr_lb, va_in, va_lb,
+            params=params, epochs=2, verbose=False, mesh=None,
+        )
+        assert np.isfinite(hist["loss"]).all()

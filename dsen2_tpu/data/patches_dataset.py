@@ -132,15 +132,9 @@ def save_random_patches60(
 
 
 def _extract_all_np(img: np.ndarray, grid: PatchGrid) -> np.ndarray:
-    b, p = grid.border, grid.patch
-    padded = np.pad(img.astype(np.float32), ((b, b), (b, b), (0, 0)), mode="symmetric")
-    out = np.zeros((grid.num_patches, p, p, img.shape[-1]), np.float32)
-    k = 0
-    for i in grid.starts_i:
-        for j in grid.starts_j:
-            out[k] = padded[i : i + p, j : j + p]
-            k += 1
-    return out
+    from dsen2_tpu.utils.native import pad_extract_host
+
+    return pad_extract_host(img, grid.flat_starts(), grid.patch, grid.border)
 
 
 def save_test_patches(

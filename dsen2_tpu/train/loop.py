@@ -55,6 +55,7 @@ def fit(
     precision: str = "high",
     remat: bool = False,
     verbose: bool = True,
+    stage_data: bool = False,
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Train; returns (final state, history). Checkpoints/logs go to
     train_cfg.out_dir when set (filename convention
@@ -79,6 +80,16 @@ def fit(
         repl = replicated(mesh)
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
+
+    if stage_data and mesh is None:
+        # Device-resident dataset: per-batch indexing becomes an on-device
+        # gather instead of a host->device transfer every step (the
+        # all-in-RAM design of the reference, moved to HBM;
+        # training/README.md:18).
+        train_inputs = tuple(jnp.asarray(a) for a in train_inputs)
+        train_labels = jnp.asarray(train_labels)
+        val_inputs = tuple(jnp.asarray(a) for a in val_inputs)
+        val_labels = jnp.asarray(val_labels)
 
     def place_batch(arrs):
         if mesh is None:

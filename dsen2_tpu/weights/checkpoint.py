@@ -1,0 +1,46 @@
+"""Full training-state checkpointing via orbax.
+
+The reference checkpoints weights only; `--resume` restores weights and the
+optimizer restarts cold (training/supres_train.py:181-185, SURVEY.md §5.4).
+Here the complete state — params, Nadam moments/momentum schedule, epoch,
+plateau-scheduler state — round-trips, so resume continues the exact
+trajectory. Keras-HDF5 export (weights/keras_h5.py) remains the
+interchange format for the reference's tooling."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["save_train_state", "restore_train_state"]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_train_state(path: str, params: Dict, opt_state: Any, epoch: int,
+                     extra: Optional[Dict] = None) -> None:
+    """Save a complete training state to `path` (a directory)."""
+    state = {
+        "params": jax.tree_util.tree_map(np.asarray, params),
+        "opt_state": jax.tree_util.tree_map(np.asarray, opt_state),
+        "epoch": np.asarray(epoch),
+        "extra": jax.tree_util.tree_map(np.asarray, extra or {}),
+    }
+    _checkpointer().save(os.path.abspath(path), state, force=True)
+
+
+def restore_train_state(path: str, like: Optional[Dict] = None) -> Dict:
+    """Restore {'params', 'opt_state', 'epoch', 'extra'} from `path`.
+    Pass `like` (a matching state pytree) to restore typed/structured
+    leaves; without it orbax returns the raw stored tree."""
+    ckpt = _checkpointer()
+    if like is not None:
+        return ckpt.restore(os.path.abspath(path), item=like)
+    return ckpt.restore(os.path.abspath(path))

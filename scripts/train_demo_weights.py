@@ -1,0 +1,125 @@
+"""Bootstrap pretrained weights from the bundled demo scenes.
+
+The reference's pretrained checkpoints are git-LFS blobs missing from the
+snapshot, so this script trains DSen2 (and optionally DSen2_60) on
+Wald-protocol patches from the two bundled .mat scenes and installs the
+result under models/ with the reference's filenames
+(testing/supres.py:57,60), making them the framework's default weights.
+
+Protocol is the reference's end to end: Gaussian+mean-pool downsample by
+the network's scale factor (training/create_patches.py:220-230), 8000
+random 32/16 crops per scene for 2x (500 of 96/48/16 for 6x;
+utils/patches.py:181,222), /2000 scaling, MAE + Keras-Nadam(1e-4), plateau
+LR, best-val checkpointing.
+
+Usage: python scripts/train_demo_weights.py [--run_60] [--epochs N]
+       [--scenes DIR] [--out models/]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run_60", action="store_true")
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--scenes", default="/root/reference/data")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "models"))
+    ap.add_argument("--n-crops", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dsen2_jax_cache")
+
+    from dsen2_tpu.core.bands import SCALE
+    from dsen2_tpu.core.config import TrainConfig, dsen2_2x, dsen2_6x
+    from dsen2_tpu.data.mat import read_scene
+    from dsen2_tpu.data.patches_dataset import (
+        make_val_index,
+        open_data_files,
+        save_random_patches,
+        save_random_patches60,
+    )
+    from dsen2_tpu.ops.resize import wald_downsample
+    from dsen2_tpu.train.loop import fit
+    from dsen2_tpu.weights import reference_weight_filename
+
+    scenes = sorted(glob.glob(os.path.join(args.scenes, "*.mat")))
+    if not scenes:
+        print("no scenes found", file=sys.stderr)
+        return 1
+
+    def wald(img, f):
+        return np.asarray(wald_downsample(jnp.asarray(img, jnp.float32), f))
+
+    work = tempfile.mkdtemp(prefix="dsen2_train_")
+    sub = "train60" if args.run_60 else "train"
+    n_default = 500 if args.run_60 else 8000
+    n_crops = args.n_crops or n_default
+    total = 0
+    for i, path in enumerate(scenes):
+        s = read_scene(path)
+        im10, im20 = s["im10"], s["im20"]
+        im60 = s.get("im60")
+        name = os.path.splitext(os.path.basename(path))[0] + ".SAFE"
+        out_dir = os.path.join(work, sub, name)
+        if args.run_60:
+            if im60 is None:
+                continue
+            h36 = im10.shape[0] // 36 * 36
+            w36 = im10.shape[1] // 36 * 36
+            im10, im20, im60 = (
+                im10[:h36, :w36], im20[: h36 // 2, : w36 // 2], im60[: h36 // 6, : w36 // 6]
+            )
+            save_random_patches60(
+                im60, wald(im10, 6), wald(im20, 6), wald(im60, 6), out_dir,
+                n_crops=n_crops, seed=i,
+            )
+        else:
+            save_random_patches(
+                im20, wald(im10, 2), wald(im20, 2), out_dir, n_crops=n_crops, seed=i
+            )
+        total += n_crops
+        print(f"built {n_crops} crops from {name}")
+
+    np.save(os.path.join(work, sub, "val_index.npy"), make_val_index(total, 0.1, seed=0))
+    tr_in, tr_lb, va_in, va_lb = open_data_files(work, args.run_60, SCALE)
+    print(f"train {tr_lb.shape[0]} / val {va_lb.shape[0]} patches")
+
+    cfg = (dsen2_6x if args.run_60 else dsen2_2x)(False)
+    fname = reference_weight_filename(args.run_60, False)
+    model_nr = fname[:7]
+    lr = 1e-5 if args.run_60 else 1e-4  # match the reference filenames
+    tcfg = TrainConfig(lr=lr, batch_size=args.batch, model_nr=model_nr, out_dir=work)
+    state, hist = fit(
+        cfg, tcfg, tr_in, tr_lb, va_in, va_lb,
+        epochs=args.epochs, stage_data=True, verbose=True,
+    )
+
+    base = os.path.join(work, f"{model_nr}lr_{lr:.0e}")
+    os.makedirs(args.out, exist_ok=True)
+    for ext in (".hdf5", ".npz"):
+        src = base + ext
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(args.out, fname.replace(".hdf5", ext)))
+    print(f"installed {fname} (best val {min(hist['val_loss']):.4e}) -> {args.out}")
+    shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,7 +74,12 @@ def main(argv=None) -> int:
     )
 
     if args.list_UTM:
-        print("List of UTM zones: see --select_UTM")
+        # (reference: s2_tiles_supres.py:186-190)
+        print("List of UTM zones (with ROI coverage in pixels):")
+        for zone, area in tile.utm_coverage.items():
+            print(f"{zone} ({area})")
+        return 0
+    print(f"Selected UTM Zone: {tile.utm}")
     print(
         f"Selected pixel region: xmin={tile.roi.xmin}, ymin={tile.roi.ymin}, "
         f"xmax={tile.roi.xmax}, ymax={tile.roi.ymax}"

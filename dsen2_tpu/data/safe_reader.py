@@ -97,6 +97,8 @@ class TileData:
     geotransform: Optional[tuple]
     projection: Optional[str]
     descriptions: Dict[str, str]
+    utm: str = ""
+    utm_coverage: Dict[str, int] = dataclasses.field(default_factory=dict)
 
 
 def snap_roi_to_grid(
@@ -271,7 +273,7 @@ def read_safe(
             roi = Roi(0, 0, ds.RasterXSize - 1, ds.RasterYSize - 1)
         candidates.append((info, roi))
 
-    idx, utm, roi, _cov = select_utm(candidates, select_utm_zone)
+    idx, utm, roi, coverage = select_utm(candidates, select_utm_zone)
     if roi.empty:
         raise ValueError("Invalid region of interest / UTM zone combination")
 
@@ -334,4 +336,6 @@ def read_safe(
         geotransform=tuple(ds10.GetGeoTransform()),
         projection=ds10.GetProjection(),
         descriptions=descriptions,
+        utm=utm,
+        utm_coverage=coverage,
     )

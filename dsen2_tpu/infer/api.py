@@ -30,7 +30,7 @@ from dsen2_tpu.models import s2net
 from dsen2_tpu.ops.resize import upsample_patches
 from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 
-__all__ = ["dsen2_20", "dsen2_60", "sr_pipeline"]
+__all__ = ["dsen2_20", "dsen2_60", "sr_pipeline", "sr_tile"]
 
 
 def _pad_to_multiple(arr: np.ndarray, mult: int) -> np.ndarray:
@@ -41,11 +41,7 @@ def _pad_to_multiple(arr: np.ndarray, mult: int) -> np.ndarray:
     return np.concatenate([arr, np.repeat(arr[-1:], rem, axis=0)], axis=0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "infer_cfg", "grids", "out_hw", "scales"),
-)
-def sr_pipeline(
+def sr_tile(
     params,
     inputs: Tuple[jax.Array, ...],
     starts: jax.Array,  # [nb, B, n_inputs, 2] per-chunk per-input patch starts
@@ -59,7 +55,9 @@ def sr_pipeline(
     out_dtype=jnp.float32,
 ) -> jax.Array:
     """Fused tiled super-resolution over `inputs` (HWC rasters, one per
-    resolution, finest first). Returns the [H, W, C_out] mosaic."""
+    resolution, finest first). Returns the [H, W, C_out] mosaic. Pure
+    trace-time function — jit via sr_pipeline, or map it inside shard_map
+    (dsen2_tpu.parallel.inference) for multi-tile fleets."""
     p_hr = infer_cfg.patch_size
     border = infer_cfg.border
     interior = p_hr - 2 * border
@@ -106,9 +104,20 @@ def sr_pipeline(
         mosaic, _ = jax.lax.scan(write, mosaic, (interiors, chunk_pos))
         return mosaic, None
 
-    mosaic0 = jnp.zeros((out_hw[0], out_hw[1], cfg.out_channels), dtype=out_dtype)
+    # Seed the mosaic with a zero DERIVED from the input so its shard_map
+    # varying-axes type matches the per-shard writes (a plain zeros constant
+    # is "unvarying" and the write scan would type-mismatch under shard_map;
+    # outside shard_map this folds to a broadcast add of 0).
+    zero = (inputs[0].reshape(-1)[0] * 0).astype(out_dtype)
+    mosaic0 = jnp.zeros((out_hw[0], out_hw[1], cfg.out_channels), dtype=out_dtype) + zero
     mosaic, _ = jax.lax.scan(chunk_step, mosaic0, (starts, positions))
     return mosaic
+
+
+sr_pipeline = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "infer_cfg", "grids", "out_hw", "scales", "out_dtype"),
+)(sr_tile)
 
 
 def _prepare_schedule(

@@ -163,6 +163,11 @@ def recompose(
     if n == 1 and border == 0 and (h, w) == (p, p):
         return patches[0]
 
+    if s > h or s > w:
+        raise ValueError(
+            f"recompose: patch interior {s} exceeds the image {out_hw}; "
+            "the patch/border geometry is too large for this image"
+        )
     pos = recompose_positions(out_hw, s)
     needed = pos.shape[0]
     if n < needed:

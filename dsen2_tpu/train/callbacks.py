@@ -58,12 +58,14 @@ class LossLogger:
     training/supres_train.py:60-62) plus optional epoch-windowed loss-curve
     PNGs (:64-103)."""
 
-    def __init__(self, out_dir: str, model_nr: str, lr: float, plots: bool = True):
+    def __init__(self, out_dir: str, model_nr: str, lr: float, plots: bool = True,
+                 plot_every: int = 10):
         os.makedirs(out_dir, exist_ok=True)
         self.filename = os.path.join(out_dir, f"{model_nr}_lr_{lr:.1e}.txt")
         self.out_dir = out_dir
         self.model_nr = model_nr
         self.plots = plots
+        self.plot_every = plot_every
         self.losses: list[float] = []
         self.val_losses: list[float] = []
         open(self.filename, "w").close()
@@ -77,7 +79,8 @@ class LossLogger:
                     epoch, loss, val_loss, lr
                 )
             )
-        if self.plots:
+        # The reference re-renders the figure every epoch; amortise instead.
+        if self.plots and epoch % self.plot_every == 0:
             self._plot(epoch)
 
     def _plot(self, epoch: int) -> None:

@@ -1,0 +1,148 @@
+"""CLI tests that run end-to-end on CPU: create_patches modes on a synthetic
+.npz tile, train --predict over the produced archives, demo on a synthetic
+GT-bearing scene, and s2_supres argument surface."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from dsen2_tpu.cli import create_patches as cp_cli
+from dsen2_tpu.cli import demo as demo_cli
+from dsen2_tpu.cli import train as train_cli
+from dsen2_tpu.cli.s2_supres import build_parser
+
+
+@pytest.fixture(scope="module")
+def synth_tile(tmp_path_factory):
+    """A synthetic multi-resolution tile saved as .npz (the GDAL-free input
+    path of create_patches)."""
+    rng = np.random.default_rng(0)
+    d = tmp_path_factory.mktemp("tile")
+    h = 432  # multiple of 36, large enough for the 128/4 test-archive grid
+    # after the x2 Wald downsample (the reference's geometry assumes full
+    # tiles; patch interiors must fit the simulated image)
+    im10 = (rng.random((h, h, 4)) * 8000).astype(np.float32)
+    im20 = (rng.random((h // 2, h // 2, 6)) * 8000).astype(np.float32)
+    im60 = (rng.random((h // 6, h // 6, 2)) * 8000).astype(np.float32)
+    path = str(d / "SYNTH_T00XXX.npz")
+    np.savez(path, im10=im10, im20=im20, im60=im60)
+    return path
+
+
+class TestCreatePatchesCLI:
+    def test_train_mode(self, synth_tile, tmp_path):
+        rc = cp_cli.main(
+            [synth_tile, "--save_prefix", str(tmp_path) + "/", "--seed", "0"]
+        )
+        assert rc == 0
+        tiles = os.listdir(tmp_path / "train")
+        assert len(tiles) == 1
+        files = set(os.listdir(tmp_path / "train" / tiles[0]))
+        assert files == {"data10.npy", "data20.npy", "data20_gt.npy"}
+
+    def test_test_mode_roi_json(self, synth_tile, tmp_path):
+        rc = cp_cli.main(
+            [synth_tile, "--test_data", "--save_prefix", str(tmp_path) + "/"]
+        )
+        assert rc == 0
+        tile_dir = tmp_path / "test" / os.listdir(tmp_path / "test")[0]
+        roi = json.load(open(tile_dir / "roi.json"))
+        assert roi == [0, 0, 216, 216]  # 10m ROI / scale 2
+        assert (tile_dir / "no_tiling" / "data20_gt.npy").exists()
+
+    def test_test60_mode(self, synth_tile, tmp_path):
+        rc = cp_cli.main(
+            [synth_tile, "--test_data", "--run_60", "--save_prefix", str(tmp_path) + "/"]
+        )
+        assert rc == 0
+        tile_dir = tmp_path / "test60" / os.listdir(tmp_path / "test60")[0]
+        assert (tile_dir / "data60.npy").exists()
+        roi = json.load(open(tile_dir / "roi.json"))
+        assert roi == [0, 0, 72, 72]
+
+    def test_true_mode(self, synth_tile, tmp_path):
+        rc = cp_cli.main(
+            [synth_tile, "--true_data", "--save_prefix", str(tmp_path) + "/"]
+        )
+        assert rc == 0
+        tile_dir = tmp_path / "true" / os.listdir(tmp_path / "true")[0]
+        assert (tile_dir / "no_tiling" / "data60.npy").exists()
+
+
+class TestTrainPredictCLI:
+    def test_predict_over_archive(self, synth_tile, tmp_path):
+        """--predict consumes a reference-format test archive and writes the
+        recomposed *-predict.npy (supres_train.py:149-179 capability)."""
+        rc = cp_cli.main(
+            [synth_tile, "--test_data", "--save_prefix", str(tmp_path) + "/"]
+        )
+        assert rc == 0
+        # make a weights file for the tiny... the CLI builds the real DSen2
+        # config, so save real-shaped weights
+        from dsen2_tpu.core.config import dsen2_2x
+        from dsen2_tpu.models import s2net
+        from dsen2_tpu.weights import save_keras_weights
+
+        params = s2net.init_params(jax.random.PRNGKey(0), dsen2_2x(False))
+        wpath = str(tmp_path / "s2_032_lr_1e-04.hdf5")
+        save_keras_weights(wpath, jax.tree_util.tree_map(np.asarray, params))
+
+        rc = train_cli.main(["--predict", wpath, "--path", str(tmp_path) + "/"])
+        assert rc == 0
+        tile_dir = tmp_path / "test" / os.listdir(tmp_path / "test")[0]
+        preds = [f for f in os.listdir(tile_dir) if f.endswith("-predict.npy")]
+        assert len(preds) == 1
+        arr = np.load(tile_dir / preds[0])
+        assert arr.shape == (216, 216, 6)
+        assert np.isfinite(arr).all()
+
+
+class TestDemoCLI:
+    def test_gt_scene_branch(self, tmp_path):
+        """A synthetic GT-bearing .mat scene exercises the pre-simulated
+        branch (reference demo style)."""
+        import h5py
+
+        rng = np.random.default_rng(1)
+        h = 120
+        with h5py.File(tmp_path / "S2X_TEST_T00XXX.mat", "w") as f:
+            # stored channel-first like MATLAB v7.3 scenes
+            f["im10"] = (rng.random((4, h, h)) * 8000).astype(np.float32)
+            f["im20"] = (rng.random((6, h // 2, h // 2)) * 8000).astype(np.float32)
+            f["imGT"] = (rng.random((6, h, h)) * 8000).astype(np.float32)
+        res = demo_cli.run_scene(
+            str(tmp_path / "S2X_TEST_T00XXX.mat"), deep=False, plots=False,
+            out_dir=str(tmp_path),
+        )
+        assert "rmse_dsen2_20" in res and "rmse_bicubic_20" in res
+        assert np.isfinite(res["rmse_dsen2_20"])
+
+
+class TestS2SupresParser:
+    def test_reference_flags_present(self):
+        p = build_parser()
+        args = p.parse_args(
+            [
+                "in.xml", "out.tif", "--roi_x_y", "0,0,100,100", "--run_60",
+                "--select_UTM", "UTM 33N", "--output_file_format", "ENVI",
+                "--copy_original_bands", "--save_prefix", "res/",
+            ]
+        )
+        assert args.run_60 and args.copy_original_bands
+        assert args.output_file_format == "ENVI"
+
+    def test_npz_fallback_writer(self, tmp_path, rng):
+        from dsen2_tpu.io.writers import write_bands
+
+        bands = [("SR B5 (705 nm)", rng.random((10, 10)).astype(np.float64))]
+        out = str(tmp_path / "out.tif")
+        fmt = write_bands(out, bands, "GTiff")  # no GDAL here -> npz
+        assert fmt == "npz"
+        z = np.load(out + ".npz" if os.path.exists(out + ".npz") else out, allow_pickle=True)
+        assert "bands" in z

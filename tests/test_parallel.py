@@ -116,3 +116,40 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(n)
+
+
+class TestMultiTileInference:
+    def test_sharded_tiles_match_single(self, rng):
+        """Tile-DP shard_map inference must equal per-tile single-device
+        runs (BASELINE config #5 capability)."""
+        from dsen2_tpu.core.config import InferConfig
+        from dsen2_tpu.infer.api import _run
+        from dsen2_tpu.parallel.inference import sr_tiles_sharded
+
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=2, feature_size=16)
+        params = s2net.init_params(jax.random.PRNGKey(0), cfg)
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4, precision="highest")
+
+        n = 8
+        d10s = (rng.random((n, 48, 48, 4)) * 5000).astype(np.float32)
+        d20s = (rng.random((n, 24, 24, 6)) * 5000).astype(np.float32)
+
+        mesh = make_mesh(data=8)
+        got = sr_tiles_sharded(params, [d10s, d20s], 2, cfg, icfg, mesh)
+        assert got.shape == (n, 48, 48, 6)
+        for i in range(0, n, 3):
+            want = _run([d10s[i], d20s[i]], 2, cfg, params, icfg)
+            np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=0.02)
+
+    def test_indivisible_batch_raises(self, rng):
+        from dsen2_tpu.core.config import InferConfig
+        from dsen2_tpu.parallel.inference import sr_tiles_sharded
+
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        params = s2net.init_params(jax.random.PRNGKey(0), cfg)
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4)
+        mesh = make_mesh(data=8)
+        d10s = np.zeros((6, 48, 48, 4), np.float32)
+        d20s = np.zeros((6, 24, 24, 6), np.float32)
+        with pytest.raises(ValueError):
+            sr_tiles_sharded(params, [d10s, d20s], 2, cfg, icfg, mesh)

@@ -62,6 +62,10 @@ def sr_tile(
     border = infer_cfg.border
     interior = p_hr - 2 * border
     compute_dtype = jnp.dtype(infer_cfg.compute_dtype)
+    if compute_dtype != jnp.float32:
+        # Turbo path: bf16 activations AND params halve HBM traffic through
+        # the conv stack; accumulation stays f32 inside the MXU.
+        params = jax.tree_util.tree_map(lambda p: p.astype(compute_dtype), params)
 
     # Pad every raster with its halo once; stays in HBM across the scan.
     padded = []
@@ -93,7 +97,7 @@ def sr_tile(
         for p_lr in patches[1:]:
             net_in.append(upsample_patches(p_lr, (p_hr, p_hr)) * inv_scale)
         pred = s2net.apply(params, net_in, cfg, precision=infer_cfg.precision)
-        pred = pred * jnp.asarray(SCALE, pred.dtype)
+        pred = pred.astype(jnp.float32) * jnp.asarray(SCALE, jnp.float32)
         interiors = pred[:, border : p_hr - border, border : p_hr - border, :]
         interiors = interiors.astype(mosaic.dtype)
 

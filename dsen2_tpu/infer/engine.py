@@ -1,0 +1,106 @@
+"""Banded full-tile engine: compute/readback overlap + bounded HBM.
+
+The one-jit pipeline (infer/api.py) keeps the whole output mosaic in HBM and
+hands it back in a single device->host transfer at the end. For production
+full tiles this engine splits the patch grid into horizontal BANDS of whole
+grid rows, launches one jitted pipeline per band, and pulls band i to host
+while band i+1 computes (JAX dispatch is async, so the readback of a
+finished band overlaps the next band's execution). Peak HBM for outputs
+drops from the full mosaic to one band.
+
+Band boundaries need no halo exchange: every patch already carries its own
+halo from the padded input, and grid rows write disjoint output rows —
+except the final edge-flush row, which is merged into the last band
+(same last-write-wins semantics as the reference mosaic)."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsen2_tpu.core.config import InferConfig, ModelConfig
+from dsen2_tpu.infer.api import _pad_to_multiple, _validate_inputs, sr_pipeline
+from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
+
+__all__ = ["sr_banded"]
+
+
+def sr_banded(
+    rasters: Sequence[np.ndarray],
+    lr_factor: int,
+    cfg: ModelConfig,
+    params,
+    infer_cfg: InferConfig,
+    rows_per_band: int = 16,
+) -> np.ndarray:
+    """Like infer.api._run but banded. rasters: finest-first HWC numpy.
+    rows_per_band: patch-grid rows per band (16 rows x 112 px = 1792 output
+    rows per band on the default 2x geometry)."""
+    _validate_inputs(rasters, lr_factor, cfg, infer_cfg)
+    h10, w10 = rasters[0].shape[:2]
+    p_hr, b_hr = infer_cfg.patch_size, infer_cfg.border
+    g_coarse = PatchGrid(
+        rasters[-1].shape[0], rasters[-1].shape[1], p_hr // lr_factor, b_hr // lr_factor
+    )
+    factors = [lr_factor // (h10 // r.shape[0]) for r in rasters]
+    grids = tuple(g_coarse.scaled(f) for f in factors)
+    interior = p_hr - 2 * b_hr
+
+    starts_all = [g.flat_starts() for g in grids]
+    pos_all = recompose_positions((h10, w10), interior)
+    n = pos_all.shape[0]
+    ny = len(grids[0].starts_i)
+    nx = n // ny
+
+    inputs = tuple(jnp.asarray(np.ascontiguousarray(r), jnp.float32) for r in rasters)
+    batch = min(infer_cfg.batch_size, nx * min(rows_per_band, ny))
+
+    # Assign grid rows to bands; the final flush row (if any) writes rows
+    # that overlap the previous row's span, so it always joins the last band.
+    band_rows = []
+    r0 = 0
+    while r0 < ny:
+        r1 = min(r0 + rows_per_band, ny)
+        if ny - r1 == 1:  # don't leave a lone final row
+            r1 = ny
+        band_rows.append((r0, r1))
+        r0 = r1
+
+    out = np.empty((h10, w10, cfg.out_channels), np.float32)
+    pending: list[tuple[jax.Array, int, int]] = []
+
+    for r0, r1 in band_rows:
+        sl = slice(r0 * nx, r1 * nx)
+        band_pos = pos_all[sl].copy()
+        y_off = int(band_pos[:, 0].min())
+        band_h = int(band_pos[:, 0].max()) + interior - y_off
+        band_pos[:, 0] -= y_off
+
+        stacked = np.stack([s[sl] for s in starts_all], axis=1)
+        stacked = _pad_to_multiple(stacked, batch)
+        bpos = _pad_to_multiple(band_pos, batch)
+        nb = stacked.shape[0] // batch
+
+        band = sr_pipeline(
+            params,
+            inputs,
+            jnp.asarray(stacked.reshape(nb, batch, len(grids), 2)),
+            jnp.asarray(bpos.reshape(nb, batch, 2)),
+            cfg=cfg,
+            infer_cfg=infer_cfg,
+            grids=grids,
+            out_hw=(band_h, w10),
+            scales=tuple(factors),
+        )
+        pending.append((band, y_off, band_h))
+        # Drain the oldest band while the new one computes (async dispatch).
+        if len(pending) > 1:
+            b, yo, bh = pending.pop(0)
+            out[yo : yo + bh] = np.asarray(b)
+
+    for b, yo, bh in pending:
+        out[yo : yo + bh] = np.asarray(b)
+    return out

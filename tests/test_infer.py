@@ -110,3 +110,48 @@ class TestDemoScene:
         )
         assert out.shape == (600, 600, 6)
         assert np.isfinite(out).all()
+
+
+class TestBandedEngine:
+    def test_matches_one_shot(self, rng, tiny_cfg_2x):
+        """The banded streaming engine must produce the identical mosaic."""
+        from dsen2_tpu.infer.engine import sr_banded
+
+        d10 = (rng.random((160, 120, 4)) * 8000).astype(np.float32)
+        d20 = (rng.random((80, 60, 6)) * 8000).astype(np.float32)
+        params = s2net.init_params(jax.random.PRNGKey(4), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4, precision="highest")
+        want = _run([d10, d20], 2, tiny_cfg_2x, params, icfg)
+        for rows in (1, 2, 3, 100):
+            got = sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg, rows_per_band=rows)
+            np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
+
+    def test_flush_row_merged(self, rng, tiny_cfg_2x):
+        """Image height not divisible by the interior -> the edge-flush row
+        must land in the last band with last-write-wins intact."""
+        from dsen2_tpu.infer.engine import sr_banded
+
+        d10 = (rng.random((152, 96, 4)) * 8000).astype(np.float32)  # 152/24: flush
+        d20 = (rng.random((76, 48, 6)) * 8000).astype(np.float32)
+        params = s2net.init_params(jax.random.PRNGKey(5), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4, precision="highest")
+        want = _run([d10, d20], 2, tiny_cfg_2x, params, icfg)
+        got = sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg, rows_per_band=2)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
+
+
+class TestBf16Turbo:
+    def test_bf16_compute_close_to_f32(self, rng, tiny_cfg_2x):
+        d10 = (rng.random((96, 96, 4)) * 8000).astype(np.float32)
+        d20 = (rng.random((48, 48, 6)) * 8000).astype(np.float32)
+        params = s2net.init_params(jax.random.PRNGKey(6), tiny_cfg_2x)
+        f32 = _run([d10, d20], 2, tiny_cfg_2x, params,
+                   InferConfig(patch_size=64, border=8, batch_size=4, precision="highest"))
+        bf16 = _run([d10, d20], 2, tiny_cfg_2x, params,
+                    InferConfig(patch_size=64, border=8, batch_size=4,
+                                precision="default", compute_dtype="bfloat16"))
+        assert bf16.dtype == np.float32
+        # bf16 has ~3 decimal digits; values O(8000) -> expect O(tens) error
+        rmse = float(np.sqrt(np.mean((bf16.astype(np.float64) - f32.astype(np.float64)) ** 2)))
+        assert rmse < 80.0, rmse
+        assert np.isfinite(bf16).all()

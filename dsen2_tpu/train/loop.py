@@ -138,6 +138,31 @@ def fit(
     history: Dict[str, list] = {"loss": [], "val_loss": [], "mse": [], "lr": []}
     epochs = train_cfg.epochs if epochs is None else epochs
 
+    try:
+        params, opt_state = _epoch_loop(
+            train_cfg, train_inputs, train_labels, val_inputs, val_labels,
+            params, opt_state, train_step, eval_step, plateau, logger, ckpt,
+            n, rng, history, epochs, verbose, place_batch,
+        )
+    except KeyboardInterrupt:
+        # Failure handling the reference lacks (SURVEY.md §5.3): an
+        # interrupted run leaves a resumable full-state checkpoint.
+        if train_cfg.out_dir:
+            from dsen2_tpu.weights.checkpoint import save_train_state
+
+            path = os.path.join(train_cfg.out_dir, f"{train_cfg.model_nr}interrupted")
+            save_train_state(path, params, opt_state, epoch=len(history["loss"]))
+            print(f"interrupted: full train state saved to {path}")
+        raise
+
+    return TrainState(params=params, opt_state=opt_state, epoch=len(history["loss"])), history
+
+
+def _epoch_loop(
+    train_cfg, train_inputs, train_labels, val_inputs, val_labels,
+    params, opt_state, train_step, eval_step, plateau, logger, ckpt,
+    n, rng, history, epochs, verbose, place_batch,
+):
     for epoch in range(epochs):
         t0 = time.time()
         losses, mses, weights = [], [], []
@@ -180,4 +205,4 @@ def fit(
                 f"lr {new_lr:.1e} ({time.time() - t0:.1f}s)"
             )
 
-    return TrainState(params=params, opt_state=opt_state, epoch=epochs), history
+    return params, opt_state

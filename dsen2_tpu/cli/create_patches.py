@@ -116,16 +116,28 @@ def main(argv=None) -> int:
 
     prefix = args.save_prefix
 
+    def fit_patch(patch_hr: int, border_hr: int, coarse_factor: int, n_coarse: int) -> int:
+        """Shrink the HR patch size (multiples of 6) until the coarse-grid
+        interior fits the image; the reference geometry assumes full tiles."""
+        p = patch_hr
+        while p // coarse_factor - 2 * (border_hr // coarse_factor) > n_coarse and p > 6 * coarse_factor:
+            p -= 6
+        if p != patch_hr:
+            print(f"image too small for patch {patch_hr}; using {p}")
+        return p
+
     if args.test_data:
         sub = "test60" if args.run_60 else "test"
         out = os.path.join(prefix, sub, name)
         os.makedirs(out, exist_ok=True)
         print(f"Writing files for testing to: {out}")
         if args.run_60:
-            save_test_patches60(d10_lr, d20_lr, d60_lr, out)
+            p = fit_patch(192, 12, 6, min(d60_lr.shape[:2]))
+            save_test_patches60(d10_lr, d20_lr, d60_lr, out, patch_size=p)
             roi_s = [c // scale for c in roi]
         else:
-            save_test_patches(d10_lr, d20_lr, out)
+            p = fit_patch(128, 4, 2, min(d20_lr.shape[:2]))
+            save_test_patches(d10_lr, d20_lr, out, patch_size=p)
             roi_s = [c // scale for c in roi]
         with open(os.path.join(out, "roi.json"), "w") as f:
             json.dump([roi_s[0], roi_s[1], roi_s[2], roi_s[3]], f)

@@ -54,6 +54,12 @@ class PatchGrid:
         final start when the stride does not divide n
         (reference: utils/patches.py:45-53)."""
         s = self.stride
+        if n < s:
+            raise ValueError(
+                f"image extent {n} is smaller than the patch interior {s} "
+                f"(patch {self.patch}, border {self.border}); use a smaller "
+                "patch size"
+            )
         starts = [i * s for i in range(n // s)]
         if n % s != 0:
             starts.append(n + 2 * self.border - self.patch)

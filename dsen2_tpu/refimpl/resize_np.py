@@ -62,6 +62,12 @@ def matlab_imresize_np(img: np.ndarray, scale: float | None = None,
     )
 
 
+def convert_double_to_byte_np(img: np.ndarray) -> np.ndarray:
+    """Clip to [0,1], scale to [0,255], round to uint8 — the reference's
+    display conversion (utils/imresize.py:114-117)."""
+    return np.around(255.0 * np.clip(img, 0.0, 1.0)).astype(np.uint8)
+
+
 def wald_downsample_np(img: np.ndarray, factor: int) -> np.ndarray:
     """Oracle for downPixelAggr (utils/patches.py:353-371): Gaussian blur with
     sigma=1/factor then factor x factor mean pooling, float64."""

@@ -100,3 +100,10 @@ class TestRecompose:
         p = rng.random((1, 32, 32, 6)).astype(np.float32)
         out = np.asarray(recompose(jnp.asarray(p), 0, (32, 32)))
         np.testing.assert_array_equal(out, p[0])
+
+
+class TestGridGuards:
+    def test_image_smaller_than_interior_raises(self):
+        g = PatchGrid(20, 20, 64, 4)  # stride 56 > 20
+        with pytest.raises(ValueError):
+            g.starts_i

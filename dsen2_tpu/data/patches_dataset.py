@@ -65,8 +65,14 @@ def interp_patches_host(patches: np.ndarray, out_hw: Tuple[int, int]) -> np.ndar
 def _random_crops(
     rng: np.random.Generator, n: int, lr_shape: Tuple[int, int], patch_lr: int
 ) -> np.ndarray:
-    ys = rng.integers(0, lr_shape[0] - patch_lr, size=n)
-    xs = rng.integers(0, lr_shape[1] - patch_lr, size=n)
+    hi_y = lr_shape[0] - patch_lr
+    hi_x = lr_shape[1] - patch_lr
+    if hi_y < 0 or hi_x < 0:
+        raise ValueError(
+            f"raster {lr_shape} smaller than the crop size {patch_lr}"
+        )
+    ys = rng.integers(0, max(hi_y, 1), size=n)
+    xs = rng.integers(0, max(hi_x, 1), size=n)
     return np.stack([ys, xs], axis=1)
 
 
@@ -108,27 +114,31 @@ def save_random_patches60(
     out_dir: str,
     n_crops: int = 500,
     seed: Optional[int] = None,
+    patch_60: int = 16,
 ) -> None:
-    """Random 96/48/16 crops for the 6x network
-    (reference: utils/patches.py:222-271; NR_CROP=500)."""
+    """Random crops for the 6x network, sized patch_60 on the 60 m grid
+    (reference: utils/patches.py:222-271; NR_CROP=500, 96/48/16 i.e.
+    patch_60=16 — the network is fully convolutional, so smaller crops are
+    valid training examples for small scenes)."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
-    crops = _random_crops(rng, n_crops, d60.shape[:2], 16)
+    p60_s, p20_s, p10_s = patch_60, 3 * patch_60, 6 * patch_60
+    crops = _random_crops(rng, n_crops, d60.shape[:2], p60_s)
 
-    p10 = np.zeros((n_crops, 96, 96, d10.shape[2]), np.float32)
-    pgt = np.zeros((n_crops, 96, 96, d60_gt.shape[2]), np.float32)
-    p20 = np.zeros((n_crops, 48, 48, d20.shape[2]), np.float32)
-    p60 = np.zeros((n_crops, 16, 16, d60.shape[2]), np.float32)
+    p10 = np.zeros((n_crops, p10_s, p10_s, d10.shape[2]), np.float32)
+    pgt = np.zeros((n_crops, p10_s, p10_s, d60_gt.shape[2]), np.float32)
+    p20 = np.zeros((n_crops, p20_s, p20_s, d20.shape[2]), np.float32)
+    p60 = np.zeros((n_crops, p60_s, p60_s, d60.shape[2]), np.float32)
     for i, (y, x) in enumerate(crops):
-        p60[i] = d60[y : y + 16, x : x + 16]
-        p20[i] = d20[3 * y : 3 * y + 48, 3 * x : 3 * x + 48]
-        p10[i] = d10[6 * y : 6 * y + 96, 6 * x : 6 * x + 96]
-        pgt[i] = d60_gt[6 * y : 6 * y + 96, 6 * x : 6 * x + 96]
+        p60[i] = d60[y : y + p60_s, x : x + p60_s]
+        p20[i] = d20[3 * y : 3 * y + p20_s, 3 * x : 3 * x + p20_s]
+        p10[i] = d10[6 * y : 6 * y + p10_s, 6 * x : 6 * x + p10_s]
+        pgt[i] = d60_gt[6 * y : 6 * y + p10_s, 6 * x : 6 * x + p10_s]
 
     np.save(os.path.join(out_dir, "data10.npy"), _to_chw(p10))
     np.save(os.path.join(out_dir, "data60_gt.npy"), _to_chw(pgt))
-    np.save(os.path.join(out_dir, "data20.npy"), _to_chw(interp_patches_host(p20, (96, 96))))
-    np.save(os.path.join(out_dir, "data60.npy"), _to_chw(interp_patches_host(p60, (96, 96))))
+    np.save(os.path.join(out_dir, "data20.npy"), _to_chw(interp_patches_host(p20, (p10_s, p10_s))))
+    np.save(os.path.join(out_dir, "data60.npy"), _to_chw(interp_patches_host(p60, (p10_s, p10_s))))
 
 
 def _extract_all_np(img: np.ndarray, grid: PatchGrid) -> np.ndarray:

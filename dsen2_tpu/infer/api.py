@@ -51,7 +51,6 @@ def sr_tile(
     infer_cfg: InferConfig,
     grids: Tuple[PatchGrid, ...],
     out_hw: Tuple[int, int],
-    scales: Tuple[int, ...],
     out_dtype=jnp.float32,
 ) -> jax.Array:
     """Fused tiled super-resolution over `inputs` (HWC rasters, one per
@@ -120,7 +119,7 @@ def sr_tile(
 
 sr_pipeline = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "infer_cfg", "grids", "out_hw", "scales", "out_dtype"),
+    static_argnames=("cfg", "infer_cfg", "grids", "out_hw", "out_dtype"),
 )(sr_tile)
 
 
@@ -218,7 +217,6 @@ def _run(
         infer_cfg=infer_cfg,
         grids=grids,
         out_hw=(h10, w10),
-        scales=tuple(factors),
     )
     if device_output:
         return out

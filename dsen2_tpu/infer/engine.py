@@ -93,7 +93,6 @@ def sr_banded(
             infer_cfg=infer_cfg,
             grids=grids,
             out_hw=(band_h, w10),
-            scales=tuple(factors),
         )
         pending.append((band, y_off, band_h))
         # Drain the oldest band while the new one computes (async dispatch).

@@ -65,7 +65,7 @@ def sr_tiles_sharded(
             return sr_tile(
                 params, tile_tuple, starts_j, positions_j,
                 cfg=cfg, infer_cfg=infer_cfg, grids=grids,
-                out_hw=(h10, w10), scales=tuple(factors),
+                out_hw=(h10, w10),
             )
 
         return jax.lax.map(one, tuple(local_tiles))

@@ -85,9 +85,14 @@ def main() -> int:
             im10, im20, im60 = (
                 im10[:h36, :w36], im20[: h36 // 2, : w36 // 2], im60[: h36 // 6, : w36 // 6]
             )
+            d60_lr = wald(im60, 6)
+            # Small demo scenes: shrink the crop so positions exist (the
+            # network is fully convolutional; the reference's 16 assumes
+            # full 1830x1830 60m rasters).
+            patch_60 = 16 if min(d60_lr.shape[:2]) > 24 else 8
             save_random_patches60(
-                im60, wald(im10, 6), wald(im20, 6), wald(im60, 6), out_dir,
-                n_crops=n_crops, seed=i,
+                im60, wald(im10, 6), wald(im20, 6), d60_lr, out_dir,
+                n_crops=n_crops, seed=i, patch_60=patch_60,
             )
         else:
             save_random_patches(

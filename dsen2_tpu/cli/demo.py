@@ -101,6 +101,10 @@ def run_scene(path: str, deep: bool, plots: bool, out_dir: str) -> dict:
         print("Bicubic:")
         results["rmse_bicubic_20"] = rmse(bic, im20)
         results["sre_dsen2_20"] = sre(sr20, im20)
+        from dsen2_tpu.core.bands import BANDS_20M
+        from dsen2_tpu.infer.metrics import evaluation_table
+
+        print(evaluation_table(sr20, im20, bic, BANDS_20M))
         gt20 = im20
 
         if im60 is not None:

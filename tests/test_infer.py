@@ -155,3 +155,20 @@ class TestBf16Turbo:
         rmse = float(np.sqrt(np.mean((bf16.astype(np.float64) - f32.astype(np.float64)) ** 2)))
         assert rmse < 80.0, rmse
         assert np.isfinite(bf16).all()
+
+
+class TestMetrics:
+    def test_per_band_and_global(self, rng):
+        from dsen2_tpu.infer.metrics import (
+            evaluation_table, per_band_rmse, per_band_sre, rmse, sre_db,
+        )
+
+        gt = (rng.random((20, 20, 3)) * 1000).astype(np.float32)
+        sr = gt + 10.0
+        np.testing.assert_allclose(per_band_rmse(sr, gt), [10, 10, 10], rtol=1e-6)
+        assert abs(rmse(sr, gt) - 10.0) < 1e-6
+        s = per_band_sre(sr, gt)
+        assert s.shape == (3,) and (s > 0).all()
+        assert abs(sre_db(sr, gt) - s.mean()) < 1e-9
+        table = evaluation_table(sr, gt, gt + 20.0, ["B5", "B6", "B7"])
+        assert "B6" in table and "ALL" in table

@@ -59,11 +59,12 @@ def _save_band_png(path: str, data: np.ndarray) -> None:
         import imageio
     except ImportError:
         return
+    from dsen2_tpu.refimpl.resize_np import convert_double_to_byte_np
+
     mi, ma = np.percentile(data, (1, 99))
-    img = np.clip(data, mi, ma)
-    img = (img - mi) / max(ma - mi, 1e-9)
+    img = (np.clip(data, mi, ma) - mi) / max(ma - mi, 1e-9)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    imageio.imsave(path, (img * 255).astype(np.uint8))
+    imageio.imsave(path, convert_double_to_byte_np(img))
 
 
 def main(argv=None) -> int:

@@ -25,24 +25,16 @@ import sys
 import numpy as np
 
 
+from dsen2_tpu.infer.metrics import rmse as _rmse
+from dsen2_tpu.infer.metrics import sre_db as sre
+
+
 def rmse(x1: np.ndarray, x2: np.ndarray) -> float:
-    """Root-mean-square error over all pixels/bands
-    (reference: testing/demoDSen2.py:31-35, matlab_demo/RMSE.m)."""
-    diff = x1.astype(np.float64) - x2.astype(np.float64)
-    val = float(np.sqrt(np.mean(diff**2)))
+    """Print-and-return RMSE like the reference demo
+    (testing/demoDSen2.py:31-35); the math lives in infer.metrics."""
+    val = _rmse(x1, x2)
     print(f"RMSE: {val:.4f}")
     return val
-
-
-def sre(sr: np.ndarray, gt: np.ndarray) -> float:
-    """Signal-to-reconstruction-error ratio in dB (the companion paper's
-    second metric), mean over bands."""
-    out = []
-    for b in range(gt.shape[-1]):
-        err = np.mean((sr[..., b].astype(np.float64) - gt[..., b].astype(np.float64)) ** 2)
-        sig = np.mean(gt[..., b].astype(np.float64) ** 2)
-        out.append(10.0 * np.log10(sig / max(err, 1e-12)))
-    return float(np.mean(out))
 
 
 def _save_fig(path, arrays_titles):

@@ -56,13 +56,23 @@ def main(argv=None) -> int:
             print(name)
         return 0
 
-    from dsen2_tpu.data.safe_reader import read_safe
+    from dsen2_tpu.data.safe_reader import read_safe, scan_utm_zones
     from dsen2_tpu.io.writers import shifted_geotransform, write_bands
 
     roi_x_y = tuple(float(x) for x in re.split(",", args.roi_x_y)) if args.roi_x_y else None
     roi_lon_lat = (
         tuple(float(x) for x in re.split(",", args.roi_lon_lat)) if args.roi_lon_lat else None
     )
+
+    if args.list_UTM:
+        # Metadata-only scan: no raster reads, and an empty ROI/zone
+        # combination still lists zones (reference: s2_tiles_supres.py:186-190).
+        print("List of UTM zones (with ROI coverage in pixels):")
+        for zone, area in scan_utm_zones(
+            args.data_file, roi_x_y=roi_x_y, roi_lon_lat=roi_lon_lat
+        ).items():
+            print(f"{zone} ({area})")
+        return 0
 
     tile = read_safe(
         args.data_file,
@@ -73,12 +83,6 @@ def main(argv=None) -> int:
         output_format=args.output_file_format,
     )
 
-    if args.list_UTM:
-        # (reference: s2_tiles_supres.py:186-190)
-        print("List of UTM zones (with ROI coverage in pixels):")
-        for zone, area in tile.utm_coverage.items():
-            print(f"{zone} ({area})")
-        return 0
     print(f"Selected UTM Zone: {tile.utm}")
     print(
         f"Selected pixel region: xmin={tile.roi.xmin}, ymin={tile.roi.ymin}, "

@@ -151,14 +151,17 @@ def select_utm(
     Returns (index, utm, roi, {utm: coverage})."""
     coverage: Dict[str, int] = defaultdict(int)
     best_idx, best_utm, best_roi, best_area = 0, "", Roi(0, 0, -1, -1), -1
+    req: Optional[Tuple[int, str, Roi]] = None
     for idx, (info, roi) in enumerate(candidates):
         area = roi.width * roi.height if not roi.empty else 0
         zone = utm_of(info.description)
         coverage[zone] = max(coverage[zone], area)
-        if requested and zone == requested:
-            return idx, zone, roi, dict(coverage)
+        if requested and zone == requested and req is None:
+            req = (idx, zone, roi)
         if area > best_area:
             best_idx, best_utm, best_roi, best_area = idx, zone, roi, area
+    if req is not None:
+        return req[0], req[1], req[2], dict(coverage)
     return best_idx, best_utm, best_roi, dict(coverage)
 
 
@@ -220,6 +223,43 @@ def _lonlat_to_pixel(ds, lon1, lat1, lon2, lat2) -> Tuple[float, float, float, f
     x1, y1 = to_xy(lon1, lat1)
     x2, y2 = to_xy(lon2, lat2)
     return x1, y1, x2, y2
+
+
+def scan_utm_zones(
+    data_file: str,
+    roi_x_y: Optional[Tuple[float, float, float, float]] = None,
+    roi_lon_lat: Optional[Tuple[float, float, float, float]] = None,
+    snap_grid: int = 6,
+) -> Dict[str, int]:
+    """UTM zones present in a product with their ROI coverage in 10 m pixels
+    (reference: s2_tiles_supres.py:186-190), WITHOUT reading any raster
+    data and without failing on an empty ROI/zone combination."""
+    try:
+        from osgeo import gdal
+    except ImportError as e:
+        raise ImportError("scanning SAFE products requires GDAL (osgeo)") from e
+
+    raster = gdal.Open(data_file)
+    if raster is None:
+        raise FileNotFoundError(data_file)
+    groups = classify_subdatasets(raster.GetSubDatasets())
+    coverage: Dict[str, int] = {}
+    for info in groups["10m"] + groups["unknown"]:
+        ds = gdal.Open(info.name)
+        if roi_x_y is not None:
+            x1, y1, x2, y2 = roi_x_y
+            roi = snap_roi_to_grid(x1, y1, x2, y2, ds.RasterXSize, ds.RasterYSize, snap_grid)
+        elif roi_lon_lat is not None:
+            x1, y1, x2, y2 = _lonlat_to_pixel(ds, *roi_lon_lat)
+            roi = snap_roi_to_grid(
+                int(x1), int(y1), int(x2), int(y2), ds.RasterXSize, ds.RasterYSize, snap_grid
+            )
+        else:
+            roi = Roi(0, 0, ds.RasterXSize - 1, ds.RasterYSize - 1)
+        area = 0 if roi.empty else roi.width * roi.height
+        zone = utm_of(info.description)
+        coverage[zone] = max(coverage.get(zone, 0), area)
+    return coverage
 
 
 def read_safe(

@@ -39,6 +39,8 @@ def sr_banded(
     """Like infer.api._run but banded. rasters: finest-first HWC numpy.
     rows_per_band: patch-grid rows per band (16 rows x 112 px = 1792 output
     rows per band on the default 2x geometry)."""
+    if rows_per_band < 1:
+        raise ValueError(f"rows_per_band must be >= 1, got {rows_per_band}")
     _validate_inputs(rasters, lr_factor, cfg, infer_cfg)
     h10, w10 = rasters[0].shape[:2]
     p_hr, b_hr = infer_cfg.patch_size, infer_cfg.border

@@ -57,29 +57,36 @@ def sr_tiles_sharded(
     positions_j = jnp.asarray(positions)
 
     n_in = len(tile_inputs)
-    in_specs = (P(),) + (P(DATA_AXIS),) * n_in
-    out_spec = P(DATA_AXIS)
-
-    def per_shard(params, *local_tiles):
-        def one(tile_tuple):
-            return sr_tile(
-                params, tile_tuple, starts_j, positions_j,
-                cfg=cfg, infer_cfg=infer_cfg, grids=grids,
-                out_hw=(h10, w10),
-            )
-
-        return jax.lax.map(one, tuple(local_tiles))
-
-    fn = jax.jit(
-        shard_map(per_shard, mesh=mesh, in_specs=in_specs, out_specs=out_spec)
-    )
+    fn = _sharded_pipeline(mesh, n_in, cfg, infer_cfg, grids, (h10, w10))
     tiles_dev = tuple(
         jax.device_put(
             jnp.asarray(t, jnp.float32), NamedSharding(mesh, P(DATA_AXIS))
         )
         for t in tile_inputs
     )
-    return np.asarray(fn(params, *tiles_dev))
+    return np.asarray(fn(params, starts_j, positions_j, *tiles_dev))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_pipeline(mesh, n_in, cfg, infer_cfg, grids, out_hw):
+    """Build (and cache) the jitted shard_map pipeline for one geometry —
+    repeated fleet calls with the same shapes reuse the compiled program
+    instead of retracing per invocation."""
+    in_specs = (P(), P(), P()) + (P(DATA_AXIS),) * n_in
+    out_spec = P(DATA_AXIS)
+
+    def per_shard(params, starts, positions, *local_tiles):
+        def one(tile_tuple):
+            return sr_tile(
+                params, tile_tuple, starts, positions,
+                cfg=cfg, infer_cfg=infer_cfg, grids=grids, out_hw=out_hw,
+            )
+
+        return jax.lax.map(one, tuple(local_tiles))
+
+    return jax.jit(
+        shard_map(per_shard, mesh=mesh, in_specs=in_specs, out_specs=out_spec)
+    )
 
 
 def dsen2_20_tiles(

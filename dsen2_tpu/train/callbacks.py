@@ -70,7 +70,9 @@ class LossLogger:
         self.val_losses: list[float] = []
         open(self.filename, "w").close()
 
-    def on_epoch_end(self, epoch: int, loss: float, val_loss: float, lr: float) -> None:
+    def on_epoch_end(
+        self, epoch: int, loss: float, val_loss: float, lr: float, last: bool = False
+    ) -> None:
         self.losses.append(loss)
         self.val_losses.append(val_loss)
         with open(self.filename, "a") as f:
@@ -79,8 +81,9 @@ class LossLogger:
                     epoch, loss, val_loss, lr
                 )
             )
-        # The reference re-renders the figure every epoch; amortise instead.
-        if self.plots and epoch % self.plot_every == 0:
+        # The reference re-renders the figure every epoch; amortise instead,
+        # but always render the final epoch so the saved curve is complete.
+        if self.plots and (last or epoch % self.plot_every == 0):
             self._plot(epoch)
 
     def _plot(self, epoch: int) -> None:

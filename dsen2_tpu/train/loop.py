@@ -138,10 +138,13 @@ def fit(
     history: Dict[str, list] = {"loss": [], "val_loss": [], "mse": [], "lr": []}
     epochs = train_cfg.epochs if epochs is None else epochs
 
+    # `live` is updated by the epoch loop after every completed epoch so the
+    # interrupt handler saves the CURRENT state, not fit's initial bindings.
+    live = {"params": params, "opt_state": opt_state}
     try:
-        params, opt_state = _epoch_loop(
+        _epoch_loop(
             train_cfg, train_inputs, train_labels, val_inputs, val_labels,
-            params, opt_state, train_step, eval_step, plateau, logger, ckpt,
+            live, train_step, eval_step, plateau, logger, ckpt,
             n, rng, history, epochs, verbose, place_batch,
         )
     except KeyboardInterrupt:
@@ -151,18 +154,27 @@ def fit(
             from dsen2_tpu.weights.checkpoint import save_train_state
 
             path = os.path.join(train_cfg.out_dir, f"{train_cfg.model_nr}interrupted")
-            save_train_state(path, params, opt_state, epoch=len(history["loss"]))
+            save_train_state(
+                path, live["params"], live["opt_state"], epoch=len(history["loss"])
+            )
             print(f"interrupted: full train state saved to {path}")
         raise
 
-    return TrainState(params=params, opt_state=opt_state, epoch=len(history["loss"])), history
+    return (
+        TrainState(
+            params=live["params"], opt_state=live["opt_state"],
+            epoch=len(history["loss"]),
+        ),
+        history,
+    )
 
 
 def _epoch_loop(
     train_cfg, train_inputs, train_labels, val_inputs, val_labels,
-    params, opt_state, train_step, eval_step, plateau, logger, ckpt,
+    live, train_step, eval_step, plateau, logger, ckpt,
     n, rng, history, epochs, verbose, place_batch,
 ):
+    params, opt_state = live["params"], live["opt_state"]
     for epoch in range(epochs):
         t0 = time.time()
         losses, mses, weights = [], [], []
@@ -195,8 +207,9 @@ def _epoch_loop(
         history["val_loss"].append(val_loss)
         history["mse"].append(mse_)
         history["lr"].append(new_lr)
+        live["params"], live["opt_state"] = params, opt_state
         if logger:
-            logger.on_epoch_end(epoch, loss, val_loss, new_lr)
+            logger.on_epoch_end(epoch, loss, val_loss, new_lr, last=epoch == epochs - 1)
         if ckpt:
             ckpt.maybe_save(val_loss, params)
         if verbose:
@@ -204,5 +217,3 @@ def _epoch_loop(
                 f"epoch {epoch}: loss {loss:.3e} val {val_loss:.3e} "
                 f"lr {new_lr:.1e} ({time.time() - t0:.1f}s)"
             )
-
-    return params, opt_state

@@ -43,15 +43,24 @@ def _build() -> Optional[str]:
         return None
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
+    # Concurrent builders (e.g. `parallel -j8 create_patches`) must not see a
+    # half-written .so: link into a per-process temp file, then rename
+    # atomically.
+    tmp = f"{_SO}.build-{os.getpid()}"
     cmd = [
         "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
-        "-march=native", _SRC, "-o", _SO,
+        "-march=native", _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return _SO
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
         warnings.warn(f"native build failed ({e}); using numpy fallbacks")
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -64,10 +73,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         path = _build()
         if path is None:
             return None
-        lib = ctypes.CDLL(path)
-        lib.dsen2_host_abi_version.restype = ctypes.c_int32
-        if lib.dsen2_host_abi_version() != 1:
-            warnings.warn("native ABI mismatch; using numpy fallbacks")
+        try:
+            lib = ctypes.CDLL(path)
+            lib.dsen2_host_abi_version.restype = ctypes.c_int32
+            if lib.dsen2_host_abi_version() != 1:
+                warnings.warn("native ABI mismatch; using numpy fallbacks")
+                return None
+        except OSError as e:
+            warnings.warn(f"native library failed to load ({e}); using numpy fallbacks")
             return None
         lib.dsen2_symmetric_pad_f32.argtypes = [_f32p, _i64, _i64, _i64, _i64, _f32p]
         lib.dsen2_extract_patches_f32.argtypes = [

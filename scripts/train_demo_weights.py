@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run_60", action="store_true")
+    ap.add_argument("--deep", action="store_true", help="VDSen2 (32x256)")
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--scenes", default="/root/reference/data")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "models"))
@@ -105,14 +106,15 @@ def main() -> int:
     tr_in, tr_lb, va_in, va_lb = open_data_files(work, args.run_60, SCALE)
     print(f"train {tr_lb.shape[0]} / val {va_lb.shape[0]} patches")
 
-    cfg = (dsen2_6x if args.run_60 else dsen2_2x)(False)
-    fname = reference_weight_filename(args.run_60, False)
+    cfg = (dsen2_6x if args.run_60 else dsen2_2x)(args.deep)
+    fname = reference_weight_filename(args.run_60, args.deep)
     model_nr = fname[:7]
-    lr = 1e-5 if args.run_60 else 1e-4  # match the reference filenames
+    # match the reference filenames: only the non-deep 6x file is lr 1e-5
+    lr = 1e-5 if (args.run_60 and not args.deep) else 1e-4
     tcfg = TrainConfig(lr=lr, batch_size=args.batch, model_nr=model_nr, out_dir=work)
     state, hist = fit(
         cfg, tcfg, tr_in, tr_lb, va_in, va_lb,
-        epochs=args.epochs, stage_data=True, verbose=True,
+        epochs=args.epochs, stage_data=True, verbose=True, remat=args.deep,
     )
 
     base = os.path.join(work, f"{model_nr}lr_{lr:.0e}")

@@ -148,3 +148,45 @@ class TestFit:
             params=params, epochs=2, verbose=False, mesh=None,
         )
         assert np.isfinite(hist["loss"]).all()
+
+
+class TestInterruptCheckpoint:
+    def test_interrupt_saves_current_state(self, tmp_path):
+        """Ctrl-C mid-run must persist the CURRENT params, not fit's
+        initial bindings (regression for the _epoch_loop refactor)."""
+        from unittest import mock
+
+        from dsen2_tpu.weights.checkpoint import restore_train_state
+
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tcfg = TrainConfig(lr=1e-3, batch_size=16, out_dir=str(tmp_path), model_nr="s2_997_")
+        rng_l = np.random.default_rng(0)
+        x10 = rng_l.random((32, 16, 16, 4), dtype=np.float32)
+        x20 = rng_l.random((32, 16, 16, 6), dtype=np.float32)
+        lb = (x20 * 1.5).astype(np.float32)
+
+        init_params = s2net.init_params(jax.random.PRNGKey(tcfg.seed), cfg)
+
+        calls = {"n": 0}
+        orig = ReduceLROnPlateau.step
+
+        def boom(self, val_loss):
+            calls["n"] += 1
+            if calls["n"] >= 3:
+                raise KeyboardInterrupt
+            return orig(self, val_loss)
+
+        with mock.patch.object(ReduceLROnPlateau, "step", boom):
+            with pytest.raises(KeyboardInterrupt):
+                fit(cfg, tcfg, (x10[:24], x20[:24]), lb[:24], (x10[24:], x20[24:]), lb[24:],
+                    epochs=10, verbose=False, mesh=None)
+
+        restored = restore_train_state(str(tmp_path / "s2_997_interrupted"))
+        # the interrupt fires DURING epoch 3 (plateau.step call #3), so two
+        # epochs completed -> epoch records completed count
+        assert int(restored["epoch"]) == 2
+        # params must differ from the fresh init (training progressed)
+        diff = np.abs(
+            np.asarray(restored["params"]["head"]["w"]) - np.asarray(init_params["head"]["w"])
+        ).max()
+        assert diff > 0, "interrupt checkpoint saved the initial state"

@@ -146,3 +146,53 @@ class TestS2SupresParser:
         assert fmt == "npz"
         z = np.load(out + ".npz" if os.path.exists(out + ".npz") else out, allow_pickle=True)
         assert "bands" in z
+
+
+class TestConvertWeightsCLI:
+    def test_roundtrip(self, tmp_path):
+        from dsen2_tpu.cli.convert_weights import main as convert
+        from dsen2_tpu.core.config import ModelConfig, dsen2_2x
+        from dsen2_tpu.models import s2net
+        from dsen2_tpu.weights import load_keras_weights, save_keras_weights
+
+        params = s2net.init_params(jax.random.PRNGKey(2), dsen2_2x(False))
+        src = str(tmp_path / "w.hdf5")
+        save_keras_weights(src, jax.tree_util.tree_map(np.asarray, params))
+        npz = str(tmp_path / "w.npz")
+        assert convert([src, npz]) == 0
+        back = str(tmp_path / "w2.hdf5")
+        assert convert([npz, back]) == 0
+        loaded = load_keras_weights(back, dsen2_2x(False))
+        np.testing.assert_array_equal(
+            np.asarray(params["tail"]["w"]), loaded["tail"]["w"]
+        )
+
+
+class TestProfilingUtils:
+    def test_timer_and_block_and_time(self, capsys):
+        import jax.numpy as jnp
+
+        from dsen2_tpu.utils.profiling import Timer, block_and_time
+
+        with Timer("t") as t:
+            pass
+        assert t.elapsed >= 0
+        assert "Elapsed time:" in capsys.readouterr().out
+
+        f = jax.jit(lambda x: x * 2)
+        out, secs = block_and_time(f, jnp.ones((8, 8)), repeats=2)
+        assert secs > 0 and np.asarray(out)[0, 0] == 2.0
+
+    def test_trace_writes_profile(self, tmp_path):
+        import jax.numpy as jnp
+
+        from dsen2_tpu.utils.profiling import annotate, trace
+
+        with trace(str(tmp_path)):
+            with annotate("region"):
+                float(jnp.sum(jnp.ones((16, 16))))
+        import glob
+
+        assert glob.glob(str(tmp_path / "**" / "*.pb"), recursive=True) or glob.glob(
+            str(tmp_path / "**" / "*.json.gz"), recursive=True
+        ) or list(tmp_path.iterdir())

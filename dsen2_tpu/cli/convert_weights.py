@@ -22,6 +22,10 @@ def main(argv=None) -> int:
     ap.add_argument("--deep", action="store_true", help="VDSen2 layout")
     args = ap.parse_args(argv)
 
+    for path, what in ((args.input, "input"), (args.output, "output")):
+        if not (path.endswith(".hdf5") or path.endswith(".h5") or path.endswith(".npz")):
+            ap.error(f"{what} must end in .hdf5/.h5 or .npz, got: {path}")
+
     from dsen2_tpu.core.config import dsen2_2x, dsen2_6x
     from dsen2_tpu.weights import (
         load_keras_weights,

@@ -225,6 +225,38 @@ def _lonlat_to_pixel(ds, lon1, lat1, lon2, lat2) -> Tuple[float, float, float, f
     return x1, y1, x2, y2
 
 
+def _candidate_rois(
+    gdal,
+    infos: Sequence[SubdatasetInfo],
+    roi_x_y: Optional[Tuple[float, float, float, float]],
+    roi_lon_lat: Optional[Tuple[float, float, float, float]],
+    snap_grid: int,
+) -> list[Tuple[SubdatasetInfo, Roi]]:
+    """Per-10m-subdataset snapped ROI (the shared first half of
+    s2_tiles_supres.py:123-170): pixel ROI, lon/lat ROI via OSR, or the
+    full raster. Unopenable subdatasets are skipped with a warning."""
+    import warnings
+
+    out = []
+    for info in infos:
+        ds = gdal.Open(info.name)
+        if ds is None:
+            warnings.warn(f"subdataset unreadable, skipping: {info.name}")
+            continue
+        if roi_x_y is not None:
+            x1, y1, x2, y2 = roi_x_y
+            roi = snap_roi_to_grid(x1, y1, x2, y2, ds.RasterXSize, ds.RasterYSize, snap_grid)
+        elif roi_lon_lat is not None:
+            x1, y1, x2, y2 = _lonlat_to_pixel(ds, *roi_lon_lat)
+            roi = snap_roi_to_grid(
+                int(x1), int(y1), int(x2), int(y2), ds.RasterXSize, ds.RasterYSize, snap_grid
+            )
+        else:
+            roi = Roi(0, 0, ds.RasterXSize - 1, ds.RasterYSize - 1)
+        out.append((info, roi))
+    return out
+
+
 def scan_utm_zones(
     data_file: str,
     roi_x_y: Optional[Tuple[float, float, float, float]] = None,
@@ -243,22 +275,11 @@ def scan_utm_zones(
     if raster is None:
         raise FileNotFoundError(data_file)
     groups = classify_subdatasets(raster.GetSubDatasets())
-    coverage: Dict[str, int] = {}
-    for info in groups["10m"] + groups["unknown"]:
-        ds = gdal.Open(info.name)
-        if roi_x_y is not None:
-            x1, y1, x2, y2 = roi_x_y
-            roi = snap_roi_to_grid(x1, y1, x2, y2, ds.RasterXSize, ds.RasterYSize, snap_grid)
-        elif roi_lon_lat is not None:
-            x1, y1, x2, y2 = _lonlat_to_pixel(ds, *roi_lon_lat)
-            roi = snap_roi_to_grid(
-                int(x1), int(y1), int(x2), int(y2), ds.RasterXSize, ds.RasterYSize, snap_grid
-            )
-        else:
-            roi = Roi(0, 0, ds.RasterXSize - 1, ds.RasterYSize - 1)
-        area = 0 if roi.empty else roi.width * roi.height
-        zone = utm_of(info.description)
-        coverage[zone] = max(coverage.get(zone, 0), area)
+    infos = groups["10m"] + groups["unknown"]
+    if not infos:
+        raise ValueError(f"{data_file}: no 10m subdatasets found (not a SAFE product?)")
+    candidates = _candidate_rois(gdal, infos, roi_x_y, roi_lon_lat, snap_grid)
+    _, _, _, coverage = select_utm(candidates)
     return coverage
 
 
@@ -296,22 +317,11 @@ def read_safe(
     groups = classify_subdatasets(raster.GetSubDatasets())
     tens = groups["10m"] + groups["unknown"]
     if not tens:
-        raise ValueError(f"{data_file}: no 10m subdatasets found")
+        raise ValueError(f"{data_file}: no 10m subdatasets found (not a SAFE product?)")
 
-    candidates = []
-    for info in tens:
-        ds = gdal.Open(info.name)
-        if roi_x_y is not None:
-            x1, y1, x2, y2 = roi_x_y
-            roi = snap_roi_to_grid(x1, y1, x2, y2, ds.RasterXSize, ds.RasterYSize, snap_grid)
-        elif roi_lon_lat is not None:
-            x1, y1, x2, y2 = _lonlat_to_pixel(ds, *roi_lon_lat)
-            roi = snap_roi_to_grid(
-                int(x1), int(y1), int(x2), int(y2), ds.RasterXSize, ds.RasterYSize, snap_grid
-            )
-        else:
-            roi = Roi(0, 0, ds.RasterXSize - 1, ds.RasterYSize - 1)
-        candidates.append((info, roi))
+    candidates = _candidate_rois(gdal, tens, roi_x_y, roi_lon_lat, snap_grid)
+    if not candidates:
+        raise ValueError(f"{data_file}: no readable 10m subdatasets")
 
     idx, utm, roi, coverage = select_utm(candidates, select_utm_zone)
     if roi.empty:

@@ -203,11 +203,14 @@ def _epoch_loop(
         if new_lr != float(opt_state.hyperparams["learning_rate"]):
             opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr, jnp.float32)
 
+        # Publish the state BEFORE the history appends: if an interrupt
+        # lands between them the checkpoint under-counts the epoch (safe:
+        # one epoch re-runs on resume) rather than skipping one.
+        live["params"], live["opt_state"] = params, opt_state
         history["loss"].append(loss)
         history["val_loss"].append(val_loss)
         history["mse"].append(mse_)
         history["lr"].append(new_lr)
-        live["params"], live["opt_state"] = params, opt_state
         if logger:
             logger.on_epoch_end(epoch, loss, val_loss, new_lr, last=epoch == epochs - 1)
         if ckpt:

@@ -193,6 +193,9 @@ class TestProfilingUtils:
                 float(jnp.sum(jnp.ones((16, 16))))
         import glob
 
-        assert glob.glob(str(tmp_path / "**" / "*.pb"), recursive=True) or glob.glob(
-            str(tmp_path / "**" / "*.json.gz"), recursive=True
-        ) or list(tmp_path.iterdir())
+        profile_files = [
+            p
+            for p in glob.glob(str(tmp_path / "**" / "*"), recursive=True)
+            if os.path.isfile(p) and os.path.getsize(p) > 0
+        ]
+        assert profile_files, "jax.profiler trace produced no profile data"

@@ -1,0 +1,96 @@
+"""Weight registry resolution: env-var dir, models/ dir, fresh-init fallback
+with warning; npz/hdf5 preference."""
+
+import os
+import warnings
+
+import numpy as np
+import pytest
+
+import jax
+
+from dsen2_tpu.core.config import dsen2_2x
+from dsen2_tpu.models import s2net
+from dsen2_tpu.weights import (
+    default_params,
+    load_params_npz,
+    reference_weight_filename,
+    save_keras_weights,
+    save_params_npz,
+)
+
+
+@pytest.fixture(autouse=True)
+def _clear_cache():
+    import dsen2_tpu.weights as w
+
+    w._cache.clear()
+    yield
+    w._cache.clear()
+
+
+class TestResolutionOrder:
+    def test_env_dir_wins(self, tmp_path, monkeypatch):
+        cfg = dsen2_2x(False)
+        params = s2net.init_params(jax.random.PRNGKey(42), cfg)
+        fname = reference_weight_filename(False, False)
+        save_keras_weights(
+            str(tmp_path / fname), jax.tree_util.tree_map(np.asarray, params)
+        )
+        monkeypatch.setenv("DSEN2_TPU_WEIGHTS_DIR", str(tmp_path))
+        got = default_params(cfg, run_60=False, deep=False)
+        np.testing.assert_array_equal(
+            np.asarray(got["head"]["w"]), np.asarray(params["head"]["w"])
+        )
+
+    def test_npz_fallback_in_env_dir(self, tmp_path, monkeypatch):
+        cfg = dsen2_2x(False)
+        params = s2net.init_params(jax.random.PRNGKey(7), cfg)
+        fname = reference_weight_filename(False, False).replace(".hdf5", ".npz")
+        save_params_npz(str(tmp_path / fname), jax.tree_util.tree_map(np.asarray, params))
+        monkeypatch.setenv("DSEN2_TPU_WEIGHTS_DIR", str(tmp_path))
+        got = default_params(cfg, run_60=False, deep=False)
+        np.testing.assert_array_equal(
+            np.asarray(got["tail"]["w"]), np.asarray(params["tail"]["w"])
+        )
+
+    def test_missing_weights_warn_and_init(self, tmp_path, monkeypatch):
+        """Point everything at an empty dir: a deterministic init + warning.
+        Uses the VDSen2_60 slot only if its file is absent from models/
+        (it may exist); fake the search path instead."""
+        import dsen2_tpu.weights as w
+
+        monkeypatch.setenv("DSEN2_TPU_WEIGHTS_DIR", str(tmp_path))
+        monkeypatch.setattr(w, "_search_dirs", lambda: [str(tmp_path)])
+        cfg = dsen2_2x(False)
+        with pytest.warns(UserWarning, match="UNTRAINED"):
+            got = w.default_params(cfg, run_60=False, deep=False)
+        want = s2net.init_params(jax.random.PRNGKey(0), cfg)
+        np.testing.assert_array_equal(
+            np.asarray(got["head"]["w"]), np.asarray(want["head"]["w"])
+        )
+
+    def test_cache_hit_same_object(self, tmp_path, monkeypatch):
+        import dsen2_tpu.weights as w
+
+        monkeypatch.setattr(w, "_search_dirs", lambda: [str(tmp_path)])
+        cfg = dsen2_2x(False)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            a = w.default_params(cfg, run_60=False, deep=False)
+            b = w.default_params(cfg, run_60=False, deep=False)
+        assert a is b
+
+
+class TestNpzRoundTrip:
+    def test_roundtrip(self, tmp_path):
+        cfg = dsen2_2x(False)
+        params = jax.tree_util.tree_map(
+            np.asarray, s2net.init_params(jax.random.PRNGKey(1), cfg)
+        )
+        path = str(tmp_path / "w.npz")
+        save_params_npz(path, params)
+        loaded = load_params_npz(path)
+        for top in params:
+            for k in params[top]:
+                np.testing.assert_array_equal(params[top][k], loaded[top][k])

@@ -86,6 +86,14 @@ def main(argv=None) -> int:
         lr=args.lr, batch_size=batch, model_nr=model_nr,
         out_dir=os.path.join(args.path, "network_data"),
     )
+    if not args.resume_file:
+        # Fresh runs persist the architecture summary (reference dumps
+        # model.yaml + plot_model PNG, supres_train.py:189-193).
+        from dsen2_tpu.models.s2net import summary
+
+        os.makedirs(tcfg.out_dir, exist_ok=True)
+        with open(os.path.join(tcfg.out_dir, model_nr + "model.txt"), "w") as fh:
+            fh.write(summary(cfg) + "\n")
     _, hist = fit(cfg, tcfg, train_in, train_lb, val_in, val_lb,
                   params=params, epochs=args.epochs,
                   remat=args.deep)

@@ -150,3 +150,28 @@ def apply(
 
 def param_count(params: Params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def summary(cfg: ModelConfig) -> str:
+    """Architecture summary text (capability parity with the reference's
+    fresh-run model.yaml/plot_model dump, training/supres_train.py:189-193)."""
+    f, n_l = cfg.feature_size, cfg.num_layers
+    cin, cout = cfg.total_in_channels, cfg.out_channels
+
+    def conv_params(ci, co):
+        return 3 * 3 * ci * co + co
+
+    lines = [
+        f"s2model: inputs {cfg.in_channels} -> concat({cin}) -> "
+        f"{n_l} resblocks x {f} -> {cout} + global residual",
+        f"{'layer':<22}{'output ch':>10}{'params':>12}",
+        f"{'head conv3x3 + relu':<22}{f:>10}{conv_params(cin, f):>12,}",
+    ]
+    for i in range(n_l):
+        lines.append(
+            f"{'resblock_%d (2x conv)' % i:<22}{f:>10}{2 * conv_params(f, f):>12,}"
+        )
+    lines.append(f"{'tail conv3x3':<22}{cout:>10}{conv_params(f, cout):>12,}")
+    total = conv_params(cin, f) + n_l * 2 * conv_params(f, f) + conv_params(f, cout)
+    lines.append(f"{'TOTAL':<22}{'':>10}{total:>12,}")
+    return "\n".join(lines)

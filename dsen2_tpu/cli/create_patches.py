@@ -23,22 +23,32 @@ import sys
 import numpy as np
 
 
+def _crop_to_grid(d10, d20, d60, grid: int):
+    """Crop HWC rasters to a `grid`-pixel multiple on the 10m axis so the
+    Wald downsample divides evenly (the SAFE path gets this for free from
+    ROI snapping; .mat/.npz scenes need it explicitly)."""
+    h = d10.shape[0] // grid * grid
+    w = d10.shape[1] // grid * grid
+    d10 = d10[:h, :w]
+    d20 = d20[: h // 2, : w // 2]
+    if d60 is not None:
+        d60 = d60[: h // 6, : w // 6]
+    return d10, d20, d60
+
+
 def _load_input(data_file: str, roi_x_y, run_60: bool):
     """Returns (data10, data20, data60, roi_tuple_10m, tile_name)."""
-    if data_file.endswith(".mat"):
-        from dsen2_tpu.data.mat import read_scene
+    if data_file.endswith(".mat") or data_file.endswith(".npz"):
+        if data_file.endswith(".mat"):
+            from dsen2_tpu.data.mat import read_scene
 
-        scene = read_scene(data_file)
+            scene = read_scene(data_file)
+        else:
+            scene = dict(np.load(data_file))
         d10, d20 = scene["im10"], scene["im20"]
         d60 = scene.get("im60")
         name = os.path.splitext(os.path.basename(data_file))[0] + ".SAFE"
-        roi = (0, 0, d10.shape[1], d10.shape[0])
-        return d10, d20, d60, roi, name
-    if data_file.endswith(".npz"):
-        z = np.load(data_file)
-        d10, d20 = z["im10"], z["im20"]
-        d60 = z["im60"] if "im60" in z else None
-        name = os.path.splitext(os.path.basename(data_file))[0] + ".SAFE"
+        d10, d20, d60 = _crop_to_grid(d10, d20, d60, 36)
         roi = (0, 0, d10.shape[1], d10.shape[0])
         return d10, d20, d60, roi, name
 

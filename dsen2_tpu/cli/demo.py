@@ -72,6 +72,16 @@ def run_scene(path: str, deep: bool, plots: bool, out_dir: str) -> dict:
     im60 = scene.get("im60")
     gt20 = scene.get("imGT")
 
+    if gt20 is not None and gt20.shape[-1] == 2:
+        # 60m-GT scene (reference demo's South-Africa style: imGT has the
+        # two 60m bands at 10m; testing/demoDSen2.py:67-73)
+        sr60 = dsen2_60(im10, im20, im60, deep=deep)
+        bic60 = np.asarray(matlab_imresize(jnp.asarray(im60), im10.shape[:2]))
+        print("DSen2_60:")
+        results["rmse_dsen2_60"] = rmse(sr60, gt20)
+        print("Bicubic 6x:")
+        results["rmse_bicubic_60"] = rmse(bic60, gt20)
+        return results
     if gt20 is not None:
         # Pre-simulated scene (reference demo style): inputs are already LR.
         sr20 = dsen2_20(im10, im20, deep=deep)

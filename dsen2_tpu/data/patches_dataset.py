@@ -241,5 +241,9 @@ def open_data_files_test(path: str, run_60: bool, scale: float):
         inputs.append(_to_hwc(np.load(os.path.join(path, "data60.npy"))) / np.float32(scale))
     with open(os.path.join(path, "roi.json")) as f:
         roi = json.load(f)
-    image_size = [roi[2] - roi[0], roi[3] - roi[1]]
+    # roi.json stores [xmin, ymin, xmax+1, ymax+1]; return (height, width).
+    # NOTE: the reference returns [x-extent, y-extent] and feeds it to
+    # recompose_images as (rows, cols) — misassembling non-square ROIs
+    # (utils/patches.py:345 + :384-385); that conflation is fixed here.
+    image_size = [roi[3] - roi[1], roi[2] - roi[0]]
     return inputs, image_size

@@ -211,6 +211,11 @@ def _lonlat_to_pixel(ds, lon1, lat1, lon2, lat2) -> Tuple[float, float, float, f
     srs.ImportFromWkt(ds.GetProjection())
     srs_ll = osr.SpatialReference()
     srs_ll.SetWellKnownGeogCS("WGS84")
+    # GDAL 3 honours CRS authority axis order (lat, lon for WGS84); force
+    # the traditional (lon, lat) order the reference's GDAL-2-era math uses.
+    for s in (srs, srs_ll):
+        if hasattr(s, "SetAxisMappingStrategy"):
+            s.SetAxisMappingStrategy(osr.OAMS_TRADITIONAL_GIS_ORDER)
     ct = osr.CoordinateTransformation(srs_ll, srs)
 
     def to_xy(lon, lat):

@@ -119,11 +119,18 @@ def apply(
 
     scale = jnp.asarray(cfg.residual_scale, x.dtype)
 
+    if use_pallas and x.shape[1] % 2:
+        # the fused kernel needs tile_rows >= 2; odd heights fall back to XLA
+        import warnings
+
+        warnings.warn("use_pallas requires an even image height; using XLA convs")
+        use_pallas = False
+
     if use_pallas:
         from dsen2_tpu.ops.pallas.resblock import fused_resblock
 
         h = x.shape[1]
-        tile_rows = max(t for t in (16, 8, 4, 2, 1) if h % t == 0)
+        tile_rows = max(t for t in (16, 8, 4, 2) if h % t == 0)
 
         def block(x, p):
             return (

@@ -167,6 +167,10 @@ def fused_resblock(
     if h % tile_rows:
         raise ValueError(f"H={h} not a multiple of tile_rows={tile_rows}")
     n_tiles = h // tile_rows
+    if n_tiles > 1 and tile_rows < 2:
+        # middle-tile halo DMA [ri*t-2, ri*t+t+2) needs t >= 2 to stay in
+        # bounds; t=1 would silently clamp and load a misaligned window
+        raise ValueError("tile_rows must be >= 2 when the image has multiple tiles")
 
     kernel = functools.partial(
         _resblock_kernel,

@@ -102,7 +102,7 @@ def _matlab_cubic_kernel(x: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def matlab_cubic_matrix(in_size: int, out_size: int) -> np.ndarray:
+def matlab_cubic_matrix(in_size: int, out_size: int, scale: float = 0.0) -> np.ndarray:
     """[out_size, in_size] matrix reproducing MATLAB-convention bicubic resize
     along one axis, including the antialiased (widened) kernel when
     downscaling and the symmetric boundary fold.
@@ -111,8 +111,13 @@ def matlab_cubic_matrix(in_size: int, out_size: int) -> np.ndarray:
     output sample o (1-based u = (o+1)/scale + 0.5*(1 - 1/scale)) gathers from
     a support window of the (possibly scale-widened) cubic kernel, with
     weights renormalised to sum 1 and out-of-range taps folded symmetrically.
-    """
-    scale = out_size / in_size
+
+    `scale` pins the MATLAB scalar-scale semantics where out = ceil(scale*in)
+    but the kernel math uses the REQUESTED scale (matters for antialiased
+    downscales of non-divisible sizes); 0.0 derives it as out/in
+    (MATLAB's output_shape mode)."""
+    if not scale:
+        scale = out_size / in_size
     support = 4.0
     if scale < 1.0:
         # Antialias: stretch the kernel by 1/scale and scale its amplitude.

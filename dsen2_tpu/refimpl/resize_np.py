@@ -50,16 +50,19 @@ def matlab_imresize_np(img: np.ndarray, scale: float | None = None,
                        out_hw: tuple[int, int] | None = None) -> np.ndarray:
     """Oracle for MATLAB-convention bicubic resize (utils/imresize.py:80-112).
 
-    Accepts a scalar scale (output = ceil(scale * in), as MATLAB does) or an
-    explicit output shape. Returns float64 like the reference implementation.
-    """
+    Accepts a scalar scale (output = ceil(scale * in) and the kernel math
+    uses the REQUESTED scale, as MATLAB does) or an explicit output shape
+    (scale derived as out/in). Returns float64 like the reference."""
     h, w = img.shape[0], img.shape[1]
     if out_hw is None:
         assert scale is not None
         out_hw = (int(np.ceil(scale * h)), int(np.ceil(scale * w)))
-    return _apply_separable_np(
-        img, rw.matlab_cubic_matrix(h, out_hw[0]), rw.matlab_cubic_matrix(w, out_hw[1])
-    )
+        wr = rw.matlab_cubic_matrix(h, out_hw[0], scale)
+        wc = rw.matlab_cubic_matrix(w, out_hw[1], scale)
+    else:
+        wr = rw.matlab_cubic_matrix(h, out_hw[0])
+        wc = rw.matlab_cubic_matrix(w, out_hw[1])
+    return _apply_separable_np(img, wr, wc)
 
 
 def convert_double_to_byte_np(img: np.ndarray) -> np.ndarray:

@@ -94,13 +94,22 @@ def fit(
     def place_batch(arrs):
         if mesh is None:
             return tuple(jnp.asarray(a) for a in arrs)
-        return tuple(
-            jax.device_put(jnp.asarray(a), batch_sharding(mesh, a.ndim)) for a in arrs
-        )
+        ndev = mesh.devices.size
+        out = []
+        for a in arrs:
+            if a.shape[0] % ndev == 0:
+                out.append(jax.device_put(jnp.asarray(a), batch_sharding(mesh, a.ndim)))
+            else:
+                # Final short batch (Keras drops no samples): replicate it
+                # instead of sharding — one extra trace, exact semantics.
+                out.append(jax.device_put(jnp.asarray(a), replicated(mesh)))
+        return tuple(out)
+
+    from dsen2_tpu.train.losses import mae, mse
 
     def loss_fn(p, inputs, target):
         pred = s2net.apply(p, inputs, cfg, precision=precision, remat=remat)
-        return jnp.mean(jnp.abs(pred - target)), jnp.mean(jnp.square(pred - target))
+        return mae(pred, target), mse(pred, target)
 
     @jax.jit
     def train_step(p, st, inputs, target):

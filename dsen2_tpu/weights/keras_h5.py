@@ -120,7 +120,20 @@ def save_keras_weights(path: str, params: Dict) -> None:
     seq.append((np.asarray(params["tail"]["w"]), np.asarray(params["tail"]["b"])))
 
     with h5py.File(path, "w") as f:
+        layer_names = []
         for i, (k, b) in enumerate(seq):
-            g = f.create_group(lname(i)).create_group(lname(i))
+            name = lname(i)
+            layer_names.append(name)
+            outer = f.create_group(name)
+            g = outer.create_group(name)
             g.create_dataset("kernel:0", data=k)
             g.create_dataset("bias:0", data=b)
+            # Keras-2 load_weights requires these attrs on each layer group
+            outer.attrs["weight_names"] = np.array(
+                [f"{name}/kernel:0".encode(), f"{name}/bias:0".encode()]
+            )
+        # ... and the layer index at the root (Model.load_weights reads
+        # f.attrs['layer_names'] first)
+        f.attrs["layer_names"] = np.array([n.encode() for n in layer_names])
+        f.attrs["backend"] = b"tensorflow"
+        f.attrs["keras_version"] = b"2.2.4"

@@ -199,3 +199,47 @@ class TestProfilingUtils:
             if os.path.isfile(p) and os.path.getsize(p) > 0
         ]
         assert profile_files, "jax.profiler trace produced no profile data"
+
+
+class TestMatRun60:
+    def test_mat_scene_run60_crops_to_grid(self, tmp_path):
+        """--run_60 on the bundled .mat scene must crop to a 36-multiple
+        before the x6 Wald downsample (was a crash)."""
+        scene = "/root/reference/data/S2A_MSIL1C_20170527_T33UUB.mat"
+        if not os.path.exists(scene):
+            pytest.skip("bundled scene unavailable")
+        rc = cp_cli.main(
+            [scene, "--run_60", "--save_prefix", str(tmp_path) + "/", "--seed", "0"]
+        )
+        assert rc == 0
+        tile = os.listdir(tmp_path / "train60")[0]
+        a = np.load(tmp_path / "train60" / tile / "data60_gt.npy")
+        assert a.shape[0] == 500 and np.isfinite(a).all()
+
+
+class TestNonSquareRoiPredict:
+    def test_predict_orientation(self, tmp_path):
+        """Non-square ROI: the recomposed prediction must be (H, W), not
+        transposed (fixes the reference's x/y conflation)."""
+        rng_l = np.random.default_rng(3)
+        d10 = (rng_l.random((288, 432, 4)) * 8000).astype(np.float32)
+        d20 = (rng_l.random((144, 216, 6)) * 8000).astype(np.float32)
+        from dsen2_tpu.data.patches_dataset import save_test_patches
+
+        out = tmp_path / "test" / "T_RECT.SAFE"
+        save_test_patches(d10, d20, str(out))
+        with open(out / "roi.json", "w") as f:
+            # [xmin, ymin, xmax+1, ymax+1] on the 20m-of-sim grid: W=432 H=288
+            json.dump([0, 0, 432, 288], f)
+
+        from dsen2_tpu.core.config import dsen2_2x
+        from dsen2_tpu.models import s2net
+        from dsen2_tpu.weights import save_keras_weights
+
+        params = s2net.init_params(jax.random.PRNGKey(0), dsen2_2x(False))
+        wpath = str(tmp_path / "s2_032_lr_1e-04.hdf5")
+        save_keras_weights(wpath, jax.tree_util.tree_map(np.asarray, params))
+        rc = train_cli.main(["--predict", wpath, "--path", str(tmp_path) + "/"])
+        assert rc == 0
+        pred = np.load(out / [f for f in os.listdir(out) if f.endswith("-predict.npy")][0])
+        assert pred.shape == (288, 432, 6)

@@ -48,3 +48,27 @@ def test_zero_weights_identity(rng):
     zb = jnp.zeros((c,), jnp.float32)
     got = np.asarray(fused_resblock(x, z, zb, z, zb, tile_rows=8, interpret=True))
     np.testing.assert_allclose(got, np.asarray(x), atol=0)
+
+
+def test_tile_rows_one_rejected(rng):
+    c = 128
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, c)).astype(np.float32))
+    z = jnp.zeros((3, 3, c, c), jnp.float32)
+    zb = jnp.zeros((c,), jnp.float32)
+    with pytest.raises(ValueError, match="tile_rows"):
+        fused_resblock(x, z, zb, z, zb, tile_rows=1, interpret=True)
+
+
+def test_odd_height_falls_back_to_xla(rng):
+    """use_pallas on an odd-height input must warn and still be correct."""
+    from dsen2_tpu.core.config import ModelConfig
+    from dsen2_tpu.models import s2net
+
+    cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=128)
+    params = s2net.init_params(jax.random.PRNGKey(0), cfg)
+    x10 = jnp.asarray(rng.standard_normal((1, 9, 8, 4)).astype(np.float32))
+    x20 = jnp.asarray(rng.standard_normal((1, 9, 8, 6)).astype(np.float32))
+    with pytest.warns(UserWarning, match="even image height"):
+        got = s2net.apply(params, (x10, x20), cfg, use_pallas=True)
+    want = s2net.apply(params, (x10, x20), cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)

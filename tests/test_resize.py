@@ -135,3 +135,21 @@ class TestWaldDownsampler:
     def test_requires_divisibility(self):
         with pytest.raises(ValueError):
             rw.block_mean_matrix(35, 6)
+
+
+class TestScalarScaleAntialias:
+    def test_scalar_scale_kernel_uses_requested_scale(self):
+        """MATLAB scalar-scale mode: out = ceil(scale*in) but the AA kernel
+        width uses the REQUESTED scale (13 -> ceil(6.5) = 7 with kernel
+        widened by 1/0.5, not by 13/7)."""
+        w_scalar = rw.matlab_cubic_matrix(13, 7, 0.5)
+        w_shape = rw.matlab_cubic_matrix(13, 7)
+        # they must differ (shape mode derives 7/13 != 0.5)...
+        assert np.abs(w_scalar - w_shape).max() > 1e-6
+        # ...but both remain partitions of unity
+        np.testing.assert_allclose(w_scalar.sum(axis=1), 1.0, atol=1e-12)
+
+    def test_divisible_sizes_agree(self):
+        np.testing.assert_allclose(
+            rw.matlab_cubic_matrix(64, 32, 0.5), rw.matlab_cubic_matrix(64, 32), atol=0
+        )

@@ -190,3 +190,23 @@ class TestInterruptCheckpoint:
             np.asarray(restored["params"]["head"]["w"]) - np.asarray(init_params["head"]["w"])
         ).max()
         assert diff > 0, "interrupt checkpoint saved the initial state"
+
+
+class TestShortBatchOnMesh:
+    def test_final_short_batch_survives_sharding(self, tmp_path):
+        """n % batch_size not divisible by the device count must not crash
+        (the short batch is replicated instead of sharded)."""
+        from dsen2_tpu.parallel.mesh import make_mesh
+
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tcfg = TrainConfig(lr=1e-3, batch_size=16)
+        rng_l = np.random.default_rng(1)
+        n = 42  # 42 = 2*16 + 10; 10 % 8 != 0
+        x10 = rng_l.random((n, 16, 16, 4), dtype=np.float32)
+        x20 = rng_l.random((n, 16, 16, 6), dtype=np.float32)
+        lb = (x20 * 1.2).astype(np.float32)
+        _, hist = fit(
+            cfg, tcfg, (x10[:34], x20[:34]), lb[:34], (x10[34:], x20[34:]), lb[34:],
+            epochs=2, verbose=False, mesh=make_mesh(data=8),
+        )
+        assert np.isfinite(hist["loss"]).all()

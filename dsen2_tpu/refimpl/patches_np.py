@@ -57,9 +57,16 @@ def get_test_patches60_np(d10: np.ndarray, d20: np.ndarray, d60: np.ndarray,
 def recompose_images_np(patches: np.ndarray, border: int, out_hw) -> np.ndarray:
     """Oracle for utils/patches.py:374-405, NHWC. patches [N,P,P,C]; extra
     trailing (slack) patches are ignored; overlapping writes resolve
-    last-write-wins in y-outer/x-inner order."""
+    last-write-wins in y-outer/x-inner order.
+
+    Single-patch quirk: the reference short-circuits on n == 1 and returns
+    the patch UNCROPPED regardless of border/size (utils/patches.py:375-376)
+    — the mirrored border is not removed. The oracle mirrors that exactly;
+    the device op (ops.tiling.recompose) deliberately keeps correct
+    crop-and-mosaic semantics instead (its n==1 shortcut requires border 0
+    and an exact-cover patch)."""
     n, p, _, c = patches.shape
-    if n == 1 and border == 0 and tuple(out_hw) == (p, p):
+    if n == 1:
         return patches[0]
     s = p - 2 * border
     h, w = int(out_hw[0]), int(out_hw[1])

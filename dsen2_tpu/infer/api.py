@@ -52,11 +52,16 @@ def sr_tile(
     grids: Tuple[PatchGrid, ...],
     out_hw: Tuple[int, int],
     out_dtype=jnp.float32,
+    pad_inputs: bool = True,
 ) -> jax.Array:
     """Fused tiled super-resolution over `inputs` (HWC rasters, one per
     resolution, finest first). Returns the [H, W, C_out] mosaic. Pure
     trace-time function — jit via sr_pipeline, or map it inside shard_map
-    (dsen2_tpu.parallel.inference) for multi-tile fleets."""
+    (dsen2_tpu.parallel.inference) for multi-tile fleets.
+
+    pad_inputs=False: inputs already carry their symmetric halo (the
+    single-tile mesh path pre-pads on host and ships each shard only its
+    window); `starts` must then be padded-coordinate."""
     p_hr = infer_cfg.patch_size
     border = infer_cfg.border
     interior = p_hr - 2 * border
@@ -69,10 +74,14 @@ def sr_tile(
     # Pad every raster with its halo once; stays in HBM across the scan.
     padded = []
     for img, g in zip(inputs, grids):
-        b = g.border
-        padded.append(
-            jnp.pad(img.astype(compute_dtype), ((b, b), (b, b), (0, 0)), mode="symmetric")
-        )
+        if pad_inputs:
+            b = g.border
+            img = jnp.pad(
+                img.astype(compute_dtype), ((b, b), (b, b), (0, 0)), mode="symmetric"
+            )
+        else:
+            img = img.astype(compute_dtype)
+        padded.append(img)
 
     inv_scale = jnp.asarray(1.0 / SCALE, compute_dtype)
 
@@ -119,7 +128,7 @@ def sr_tile(
 
 sr_pipeline = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "infer_cfg", "grids", "out_hw", "out_dtype"),
+    static_argnames=("cfg", "infer_cfg", "grids", "out_hw", "out_dtype", "pad_inputs"),
 )(sr_tile)
 
 
@@ -184,12 +193,19 @@ def _run(
     params,
     infer_cfg: InferConfig,
     device_output: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """Shared driver for the 2x/6x paths. rasters: finest-first HWC numpy.
     With device_output=True the mosaic stays on device (callers that chain
     further device work or overlap host readback use this). Large host-bound
     outputs route through the banded engine so readback overlaps compute
-    (measured 19% faster end to end on 5490^2, bit-identical)."""
+    (measured 19% faster end to end on 5490^2, bit-identical). With a mesh,
+    the single tile's grid rows shard over the mesh 'data' axis
+    (parallel.inference.sr_tile_sharded), one output band per device."""
+    if mesh is not None and mesh.devices.size > 1:
+        from dsen2_tpu.parallel.inference import sr_tile_sharded
+
+        return sr_tile_sharded(params, rasters, lr_factor, cfg, infer_cfg, mesh)
     _validate_inputs(rasters, lr_factor, cfg, infer_cfg)
 
     if not device_output and rasters[0].shape[0] * rasters[0].shape[1] >= 3000 * 3000:
@@ -236,11 +252,13 @@ def dsen2_20(
     deep: bool = False,
     params=None,
     infer_cfg: Optional[InferConfig] = None,
+    mesh=None,
 ) -> np.ndarray:
     """Super-resolve the six 20 m bands to 10 m.
 
     d10: [H, W, 4] (B2, B3, B4, B8); d20: [H/2, W/2, 6]
     (B5, B6, B7, B8A, B11, B12) — reference testing/supres.py:15-30.
+    With mesh, ONE tile's patch grid shards over the mesh's 'data' axis.
     """
     cfg = dsen2_2x(deep)
     infer_cfg = infer_cfg or InferConfig(patch_size=128, border=8)
@@ -248,7 +266,7 @@ def dsen2_20(
         from dsen2_tpu.weights import default_params
 
         params = default_params(cfg, run_60=False, deep=deep)
-    return _run([d10, d20], 2, cfg, params, infer_cfg)
+    return _run([d10, d20], 2, cfg, params, infer_cfg, mesh=mesh)
 
 
 def dsen2_60(
@@ -258,13 +276,15 @@ def dsen2_60(
     deep: bool = False,
     params=None,
     infer_cfg: Optional[InferConfig] = None,
+    mesh=None,
 ) -> np.ndarray:
     """Super-resolve the two 60 m bands (B1, B9) to 10 m
-    (reference testing/supres.py:33-50: patch 192, border 12)."""
+    (reference testing/supres.py:33-50: patch 192, border 12).
+    With mesh, ONE tile's patch grid shards over the mesh's 'data' axis."""
     cfg = dsen2_6x(deep)
     infer_cfg = infer_cfg or InferConfig(patch_size=192, border=12)
     if params is None:
         from dsen2_tpu.weights import default_params
 
         params = default_params(cfg, run_60=True, deep=deep)
-    return _run([d10, d20, d60], 6, cfg, params, infer_cfg)
+    return _run([d10, d20, d60], 6, cfg, params, infer_cfg, mesh=mesh)

@@ -1,4 +1,4 @@
-"""Multi-tile batched inference across the device mesh.
+"""Mesh-parallel inference: multi-tile fleets AND single-tile band sharding.
 
 BASELINE config #5: "VDSen2 batched multi-tile inference across a v5e-8
 mesh". Tiles are independent, and every patch carries its own halo, so the
@@ -6,25 +6,43 @@ natural mesh mapping is tile-level data parallelism under shard_map: the
 tile batch shards over the 'data' axis, each device runs the full fused
 pipeline (pad -> gather -> upsample -> CNN -> mosaic) on its local tiles,
 and the only collective is the implicit result layout — ZERO communication
-during compute (SURVEY.md §5.7's design win, preserved across chips)."""
+during compute (SURVEY.md §5.7's design win, preserved across chips).
+
+sr_tile_sharded extends the same zero-communication property to ONE tile:
+the patch grid's rows split into contiguous bands (the banded engine's row
+decomposition, infer/engine.py), one band per device — each device receives
+only its input window (+halo) and mosaics its own disjoint output band, so
+a single 10980^2 tile scales across chips with no collective during
+compute. Bands are write-disjoint because the edge-flush row is merged into
+the preceding band, as in the banded engine. Bit-identical to the
+single-device pipeline when the per-chunk batch shape coincides (verified
+in tests); when the per-shard patch count forces a smaller chunk, XLA tiles
+the convs differently and results agree to f32 reduction-order tolerance
+(~1.5e-4 relative, same class of variation as any batch-size change)."""
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from dsen2_tpu.core.config import InferConfig, ModelConfig, dsen2_2x, dsen2_6x
-from dsen2_tpu.infer.api import _prepare_schedule, sr_tile
-from dsen2_tpu.ops.tiling import PatchGrid
+from dsen2_tpu.infer.api import _pad_to_multiple, _prepare_schedule, sr_tile
+from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 from dsen2_tpu.parallel.mesh import DATA_AXIS
 
-__all__ = ["sr_tiles_sharded", "dsen2_20_tiles", "dsen2_60_tiles"]
+__all__ = [
+    "sr_tiles_sharded",
+    "sr_tile_sharded",
+    "dsen2_20_tiles",
+    "dsen2_60_tiles",
+    "plan_shard_bands",
+]
 
 
 def sr_tiles_sharded(
@@ -83,6 +101,164 @@ def _sharded_pipeline(mesh, n_in, cfg, infer_cfg, grids, out_hw):
             )
 
         return jax.lax.map(one, tuple(local_tiles))
+
+    return jax.jit(
+        shard_map(per_shard, mesh=mesh, in_specs=in_specs, out_specs=out_spec)
+    )
+
+
+def plan_shard_bands(ny: int, interior: int, out_h: int, ndev: int) -> List[Tuple[int, int]]:
+    """Assign the ny patch-grid rows to ndev contiguous bands, balanced to
+    within one row. The final edge-flush row (present iff ny*interior >
+    out_h) always shares a band with the row before it, so bands write
+    DISJOINT output-row ranges: band (r0, r1) owns [r0*interior,
+    r1*interior), the last non-empty band owns through out_h. Trailing
+    bands may be empty (r0 == r1) when ny < ndev."""
+    base, rem = divmod(ny, ndev)
+    rows = [base + (1 if s < rem else 0) for s in range(ndev)]
+    has_flush = ny * interior > out_h
+    if has_flush and ny >= 2:
+        # find the band holding the last row; if it holds ONLY that row,
+        # steal one from the previous non-empty band
+        bounds = np.cumsum([0] + rows)
+        last = next(s for s in range(ndev) if bounds[s] < ny <= bounds[s + 1])
+        if rows[last] == 1 and last > 0:
+            rows[last - 1] -= 1
+            rows[last] += 1
+    bounds = np.cumsum([0] + rows)
+    return [(int(bounds[s]), int(bounds[s + 1])) for s in range(ndev)]
+
+
+def sr_tile_sharded(
+    params,
+    rasters: Sequence[np.ndarray],  # finest first, HWC numpy
+    lr_factor: int,
+    cfg: ModelConfig,
+    infer_cfg: InferConfig,
+    mesh: Mesh,
+) -> np.ndarray:
+    """Super-resolve ONE tile with its patch grid sharded over the mesh
+    'data' axis: device s computes grid-row band s of the output mosaic
+    from only its own input window (pre-padded halo included), zero
+    communication during compute. Returns the [H, W, C_out] host mosaic
+    (numerics vs single-device: see module docstring)."""
+    from dsen2_tpu.infer.api import _validate_inputs
+
+    _validate_inputs(rasters, lr_factor, cfg, infer_cfg)
+    ndev = mesh.shape[DATA_AXIS]
+    h10, w10 = rasters[0].shape[:2]
+    p_hr, b_hr = infer_cfg.patch_size, infer_cfg.border
+    g_coarse = PatchGrid(
+        rasters[-1].shape[0], rasters[-1].shape[1], p_hr // lr_factor, b_hr // lr_factor
+    )
+    factors = [lr_factor // (h10 // r.shape[0]) for r in rasters]
+    grids = tuple(g_coarse.scaled(f) for f in factors)
+    interior = p_hr - 2 * b_hr
+
+    ny = len(grids[0].starts_i)
+    nx = len(grids[0].starts_j)
+    bands = plan_shard_bands(ny, interior, h10, ndev)
+    kmax = max(r1 - r0 for r0, r1 in bands)
+
+    # Per-row schedules on the full grid (padded coords / output coords).
+    starts_rows = [
+        g.flat_starts().reshape(ny, nx, 2) for g in grids
+    ]  # list per input of [ny, nx, 2]
+    pos_rows = recompose_positions((h10, w10), interior).reshape(ny, nx, 2)
+
+    # Host-pad each raster once; each shard ships only its window.
+    padded = [
+        np.pad(np.asarray(r, np.float32), ((g.border, g.border), (g.border, g.border), (0, 0)),
+               mode="symmetric")
+        for r, g in zip(rasters, grids)
+    ]
+
+    band_meta: List[Tuple[int, int]] = []  # (y0, band_h) per shard; h 0 = skip
+    shard_starts, shard_pos = [], []
+    win_rows: List[List[Tuple[int, int]]] = [[] for _ in grids]  # per input per shard
+    for s, (r0, r1) in enumerate(bands):
+        if r0 == r1:  # empty shard: duplicate band 0's work, discard output
+            r0, r1 = bands[0]
+            y0 = 0
+        else:
+            y0 = r0 * interior
+        last_band = r1 == ny
+        band_h = (h10 - y0) if last_band else (r1 - r0) * interior
+        band_meta.append((y0, band_h if bands[s][0] != bands[s][1] else 0))
+
+        take = list(range(r0, r1)) + [r1 - 1] * (kmax - (r1 - r0))
+        pos = pos_rows[take].copy()
+        pos[:, :, 0] -= y0
+        shard_pos.append(pos.reshape(-1, 2))
+        per_input = []
+        for i, (srows, g) in enumerate(zip(starts_rows, grids)):
+            st = srows[take].copy()
+            w0 = int(srows[r0, 0, 0])
+            w1 = int(srows[r1 - 1, 0, 0]) + g.patch
+            st[:, :, 0] -= w0
+            per_input.append(st.reshape(-1, 2))
+            win_rows[i].append((w0, w1))
+        shard_starts.append(np.stack(per_input, axis=1))  # [kmax*nx, n_in, 2]
+
+    band_h_max = max(h for _, h in band_meta if h) if any(h for _, h in band_meta) else interior
+    # positions of empty shards replicate band 0 and stay within band_h_max
+    n_patches = kmax * nx
+    batch = min(infer_cfg.batch_size, n_patches)
+
+    def chunked(a):
+        a = _pad_to_multiple(a, batch)
+        return a.reshape(a.shape[0] // batch, batch, *a.shape[1:])
+
+    starts_arr = np.stack([chunked(s) for s in shard_starts])  # [ndev, nb, B, n_in, 2]
+    pos_arr = np.stack([chunked(p) for p in shard_pos])  # [ndev, nb, B, 2]
+
+    windows = []
+    for i, g in enumerate(grids):
+        hmax = max(w1 - w0 for w0, w1 in win_rows[i])
+        wpad = padded[i].shape[1]
+        c = padded[i].shape[2]
+        win = np.zeros((ndev, hmax, wpad, c), np.float32)
+        for s, (w0, w1) in enumerate(win_rows[i]):
+            win[s, : w1 - w0] = padded[i][w0:w1]
+        windows.append(win)
+
+    fn = _sharded_tile_pipeline(
+        mesh, len(rasters), cfg, infer_cfg, grids, (band_h_max, w10)
+    )
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    result = fn(
+        params,
+        jax.device_put(jnp.asarray(starts_arr), shard),
+        jax.device_put(jnp.asarray(pos_arr), shard),
+        *(jax.device_put(jnp.asarray(w), shard) for w in windows),
+    )
+    result = np.asarray(result)  # [ndev, band_h_max, W, C]
+    out = np.empty((h10, w10, cfg.out_channels), np.float32)
+    for s, (y0, band_h) in enumerate(band_meta):
+        if band_h:
+            out[y0 : y0 + band_h] = result[s, :band_h]
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_tile_pipeline(mesh, n_in, cfg, infer_cfg, grids, band_hw):
+    """Jitted shard_map program for one single-tile band-sharded geometry."""
+    in_specs = (P(), P(DATA_AXIS), P(DATA_AXIS)) + (P(DATA_AXIS),) * n_in
+    out_spec = P(DATA_AXIS)
+
+    def per_shard(params, starts, positions, *windows):
+        band = sr_tile(
+            params,
+            tuple(w[0] for w in windows),
+            starts[0],
+            positions[0],
+            cfg=cfg,
+            infer_cfg=infer_cfg,
+            grids=grids,
+            out_hw=band_hw,
+            pad_inputs=False,
+        )
+        return band[None]
 
     return jax.jit(
         shard_map(per_shard, mesh=mesh, in_specs=in_specs, out_specs=out_spec)

@@ -153,3 +153,88 @@ class TestMultiTileInference:
         d20s = np.zeros((6, 24, 24, 6), np.float32)
         with pytest.raises(ValueError):
             sr_tiles_sharded(params, [d10s, d20s], 2, cfg, icfg, mesh)
+
+
+class TestSingleTileSharded:
+    """One tile's patch grid sharded over the mesh (VERDICT r1 item #2):
+    8-way band decomposition must be bit-identical to single-device."""
+
+    def _cfg(self):
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=2, feature_size=16)
+        params = s2net.init_params(jax.random.PRNGKey(3), cfg)
+        from dsen2_tpu.core.config import InferConfig
+
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4, precision="highest")
+        return cfg, params, icfg
+
+    def test_plan_shard_bands(self):
+        from dsen2_tpu.parallel.inference import plan_shard_bands
+
+        # 9 rows, no flush (9*8 == 72): balanced 2,1,1,...
+        assert plan_shard_bands(9, 8, 72, 8) == [
+            (0, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8), (8, 9), ]
+        # flush row (9*8 > 70) would land alone on a shard -> merged back
+        # (the donor band goes empty; empty bands are skipped at assembly)
+        bands = plan_shard_bands(9, 8, 70, 8)
+        assert bands[-1] == (7, 9) and bands[-2] == (7, 7)
+        assert bands[0] == (0, 2)
+        # fewer rows than devices: trailing shards empty
+        assert plan_shard_bands(2, 8, 16, 8)[:2] == [(0, 1), (1, 2)]
+        assert all(r0 == r1 for r0, r1 in plan_shard_bands(2, 8, 16, 8)[2:])
+        # single device gets everything
+        assert plan_shard_bands(5, 8, 40, 1) == [(0, 5)]
+
+    def test_sharded_tile_matches_single_2x(self, rng):
+        from dsen2_tpu.infer.api import _run
+        from dsen2_tpu.parallel.inference import sr_tile_sharded
+
+        cfg, params, icfg = self._cfg()
+        # 70x66 on the 10m grid: flush row AND flush column both exercised
+        d10 = (rng.random((70, 66, 4)) * 5000).astype(np.float32)
+        d20 = (rng.random((35, 33, 6)) * 5000).astype(np.float32)
+        want = _run([d10, d20], 2, cfg, params, icfg)
+        mesh = make_mesh(data=8)
+        got = sr_tile_sharded(params, [d10, d20], 2, cfg, icfg, mesh)
+        np.testing.assert_array_equal(got, want)
+
+    def test_sharded_tile_matches_single_6x(self, rng):
+        from dsen2_tpu.core.config import InferConfig
+        from dsen2_tpu.infer.api import _run
+        from dsen2_tpu.parallel.inference import sr_tile_sharded
+
+        cfg = ModelConfig(in_channels=(4, 6, 2), num_layers=2, feature_size=16)
+        params = s2net.init_params(jax.random.PRNGKey(5), cfg)
+        icfg = InferConfig(patch_size=48, border=6, batch_size=4, precision="highest")
+        d10 = (rng.random((144, 108, 4)) * 5000).astype(np.float32)
+        d20 = (rng.random((72, 54, 6)) * 5000).astype(np.float32)
+        d60 = (rng.random((24, 18, 2)) * 5000).astype(np.float32)
+        mesh = make_mesh(data=8)
+        got = sr_tile_sharded(params, [d10, d20, d60], 6, cfg, icfg, mesh)
+        # per-shard rows force chunk batch 3: bit-equal to a batch-3 single
+        # run; batch-4 differs only by XLA conv-tiling reduction order
+        icfg3 = InferConfig(patch_size=48, border=6, batch_size=3, precision="highest")
+        np.testing.assert_array_equal(got, _run([d10, d20, d60], 6, cfg, params, icfg3))
+        want = _run([d10, d20, d60], 6, cfg, params, icfg)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=0.5)
+
+    def test_fewer_rows_than_devices(self, rng):
+        from dsen2_tpu.infer.api import _run
+        from dsen2_tpu.parallel.inference import sr_tile_sharded
+
+        cfg, params, icfg = self._cfg()
+        d10 = (rng.random((32, 96, 4)) * 5000).astype(np.float32)  # 1-2 grid rows
+        d20 = (rng.random((16, 48, 6)) * 5000).astype(np.float32)
+        want = _run([d10, d20], 2, cfg, params, icfg)
+        mesh = make_mesh(data=8)
+        got = sr_tile_sharded(params, [d10, d20], 2, cfg, icfg, mesh)
+        np.testing.assert_array_equal(got, want)
+
+    def test_api_mesh_kwarg(self, rng):
+        from dsen2_tpu.infer.api import _run
+
+        cfg, params, icfg = self._cfg()
+        d10 = (rng.random((64, 64, 4)) * 5000).astype(np.float32)
+        d20 = (rng.random((32, 32, 6)) * 5000).astype(np.float32)
+        want = _run([d10, d20], 2, cfg, params, icfg)
+        got = _run([d10, d20], 2, cfg, params, icfg, mesh=make_mesh(data=8))
+        np.testing.assert_array_equal(got, want)

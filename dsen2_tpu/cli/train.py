@@ -24,7 +24,12 @@ import numpy as np
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Train / batch-predict DSen2 networks.")
     ap.add_argument("--predict", dest="predict_file", help="weights file; run batch prediction")
-    ap.add_argument("--resume", dest="resume_file", help="weights file; resume training")
+    ap.add_argument(
+        "--resume", dest="resume_file",
+        help="Keras HDF5 weights file (weights-only resume, reference "
+        "parity) OR a full-state orbax checkpoint dir written by a "
+        "previous run (exact-trajectory resume)",
+    )
     ap.add_argument("--true", action="store_true", help="true-scale data (no simulation)")
     ap.add_argument("--run_60", action="store_true", help="train the 6x (60m->10m) network")
     ap.add_argument("--deep", action="store_true", help="VDSen2 (32 resblocks x 256)")
@@ -73,19 +78,35 @@ def main(argv=None) -> int:
     print(f"Loaded {train_lb.shape[0]} train / {val_lb.shape[0]} val patches.")
 
     params = None
+    resume_kwargs = {}
     model_nr = args.model_nr
+    full_state_resume = bool(args.resume_file) and os.path.isdir(args.resume_file)
     if args.resume_file:
         print(f"Resuming from {args.resume_file}")
-        params = load_keras_weights(args.resume_file, cfg)
-        base = os.path.basename(args.resume_file)
-        if len(base) >= 20:
-            model_nr = base[-20:-13]
-            print(f"Changing the model number to: {model_nr}")
+        if full_state_resume:
+            # orbax dirs are named {model_nr}state / {model_nr}interrupted.
+            base = os.path.basename(os.path.normpath(args.resume_file))
+            for suffix in ("interrupted", "state"):
+                if base.endswith(suffix) and len(base) > len(suffix):
+                    model_nr = base[: -len(suffix)]
+                    print(f"Changing the model number to: {model_nr}")
+                    break
+        else:
+            params = load_keras_weights(args.resume_file, cfg)
+            base = os.path.basename(args.resume_file)
+            if len(base) >= 20:
+                model_nr = base[-20:-13]
+                print(f"Changing the model number to: {model_nr}")
 
     tcfg = TrainConfig(
         lr=args.lr, batch_size=batch, model_nr=model_nr,
         out_dir=os.path.join(args.path, "network_data"),
     )
+    if full_state_resume:
+        from dsen2_tpu.train.loop import restore_fit_state
+
+        resume_kwargs = restore_fit_state(args.resume_file, cfg, tcfg)
+        print(f"Restored full state at epoch {resume_kwargs['start_epoch']}")
     if not args.resume_file:
         # Fresh runs persist the architecture summary (reference dumps
         # model.yaml + plot_model PNG, supres_train.py:189-193).
@@ -94,9 +115,10 @@ def main(argv=None) -> int:
         os.makedirs(tcfg.out_dir, exist_ok=True)
         with open(os.path.join(tcfg.out_dir, model_nr + "model.txt"), "w") as fh:
             fh.write(summary(cfg) + "\n")
+    if params is not None:
+        resume_kwargs["params"] = params
     _, hist = fit(cfg, tcfg, train_in, train_lb, val_in, val_lb,
-                  params=params, epochs=args.epochs,
-                  remat=args.deep)
+                  epochs=args.epochs, remat=args.deep, **resume_kwargs)
     return 0
 
 

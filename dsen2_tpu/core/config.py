@@ -101,3 +101,8 @@ class TrainConfig:
     seed: int = 0
     model_nr: str = "s2_038_"
     out_dir: Optional[str] = None
+    # Periodic full-state (params + Nadam moments + plateau + history) orbax
+    # checkpoint cadence, in epochs; 0 disables. The reference can only resume
+    # weights (training/supres_train.py:181-185); this makes the exact
+    # trajectory resumable after any crash, not just Ctrl-C.
+    state_every: int = 25

@@ -59,7 +59,7 @@ class LossLogger:
     PNGs (:64-103)."""
 
     def __init__(self, out_dir: str, model_nr: str, lr: float, plots: bool = True,
-                 plot_every: int = 10):
+                 plot_every: int = 10, append: bool = False):
         os.makedirs(out_dir, exist_ok=True)
         self.filename = os.path.join(out_dir, f"{model_nr}_lr_{lr:.1e}.txt")
         self.out_dir = out_dir
@@ -68,7 +68,8 @@ class LossLogger:
         self.plot_every = plot_every
         self.losses: list[float] = []
         self.val_losses: list[float] = []
-        open(self.filename, "w").close()
+        if not append:
+            open(self.filename, "w").close()
 
     def on_epoch_end(
         self, epoch: int, loss: float, val_loss: float, lr: float, last: bool = False

@@ -24,7 +24,7 @@ from dsen2_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from dsen2_tpu.train.callbacks import BestCheckpoint, LossLogger, ReduceLROnPlateau
 from dsen2_tpu.train.nadam import nadam_keras
 
-__all__ = ["TrainState", "fit"]
+__all__ = ["TrainState", "fit", "make_optimizer", "restore_fit_state"]
 
 
 @dataclasses.dataclass
@@ -32,6 +32,54 @@ class TrainState:
     params: Dict
     opt_state: optax.OptState
     epoch: int = 0
+
+
+def make_optimizer(train_cfg: TrainConfig):
+    """The training optimizer: Keras-2 Nadam with the LR injected as
+    optimizer state (inject_hyperparams) so plateau reductions are a state
+    mutation, not a retrace."""
+    return optax.inject_hyperparams(nadam_keras)(
+        learning_rate=train_cfg.lr,
+        beta1=train_cfg.beta1,
+        beta2=train_cfg.beta2,
+        eps=train_cfg.eps,
+        schedule_decay=train_cfg.schedule_decay,
+    )
+
+
+def restore_fit_state(path: str, cfg: ModelConfig, train_cfg: TrainConfig) -> Dict:
+    """Restore a full-state checkpoint written by fit() into keyword
+    arguments for fit(): {'params', 'opt_state', 'start_epoch',
+    'plateau_state', 'history', 'best_val'}. Resuming with these continues
+    the EXACT trajectory (optimizer moments, plateau scheduler, shuffle
+    order) — the capability the reference's weights-only --resume lacks
+    (training/supres_train.py:181-185)."""
+    from dsen2_tpu.weights.checkpoint import restore_train_state
+
+    # Two-pass restore: raw first (extra is plain dicts of arrays), then
+    # typed with a template so opt_state comes back as the real optax
+    # NamedTuple structure rather than nested dicts.
+    raw = restore_train_state(path)
+    opt = make_optimizer(train_cfg)
+    params_t = s2net.init_params(jax.random.PRNGKey(train_cfg.seed), cfg)
+    like = {
+        "params": params_t,
+        "opt_state": opt.init(params_t),
+        "epoch": np.asarray(0),
+        "extra": raw["extra"],
+    }
+    st = restore_train_state(path, like=like)
+    extra = st["extra"]
+    plateau_state = {k: v.item() for k, v in extra["plateau"].items()}
+    history = {k: list(np.asarray(v, np.float64)) for k, v in extra["history"].items()}
+    return {
+        "params": st["params"],
+        "opt_state": st["opt_state"],
+        "start_epoch": int(st["epoch"]),
+        "plateau_state": plateau_state,
+        "history": history,
+        "best_val": float(extra["best_val"]),
+    }
 
 
 def _batches(n: int, batch_size: int, rng: np.random.Generator, shuffle: bool):
@@ -56,40 +104,47 @@ def fit(
     remat: bool = False,
     verbose: bool = True,
     stage_data: bool = False,
+    opt_state: Optional[optax.OptState] = None,
+    start_epoch: int = 0,
+    plateau_state: Optional[Dict] = None,
+    history: Optional[Dict[str, list]] = None,
+    best_val: Optional[float] = None,
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Train; returns (final state, history). Checkpoints/logs go to
     train_cfg.out_dir when set (filename convention
-    {model_nr}lr_{lr:.0e}.hdf5 like training/supres_train.py:195)."""
+    {model_nr}lr_{lr:.0e}.hdf5 like training/supres_train.py:195).
+
+    Pass opt_state/start_epoch/plateau_state/history/best_val (e.g. via
+    restore_fit_state) to resume the exact trajectory of an earlier run."""
     if params is None:
         params = s2net.init_params(jax.random.PRNGKey(train_cfg.seed), cfg)
     if mesh is None and jax.device_count() > 1:
         mesh = make_mesh()
 
-    # LR lives in optimizer state via inject_hyperparams -> plateau updates
-    # are a state mutation, not a retrace.
-    opt = optax.inject_hyperparams(nadam_keras)(
-        learning_rate=train_cfg.lr,
-        beta1=train_cfg.beta1,
-        beta2=train_cfg.beta2,
-        eps=train_cfg.eps,
-        schedule_decay=train_cfg.schedule_decay,
-    )
-    opt_state = opt.init(params)
+    opt = make_optimizer(train_cfg)
+    if opt_state is None:
+        opt_state = opt.init(params)
 
     if mesh is not None:
         repl = replicated(mesh)
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(opt_state, repl)
 
-    if stage_data and mesh is None:
-        # Device-resident dataset: per-batch indexing becomes an on-device
-        # gather instead of a host->device transfer every step (the
-        # all-in-RAM design of the reference, moved to HBM;
-        # training/README.md:18).
-        train_inputs = tuple(jnp.asarray(a) for a in train_inputs)
-        train_labels = jnp.asarray(train_labels)
-        val_inputs = tuple(jnp.asarray(a) for a in val_inputs)
-        val_labels = jnp.asarray(val_labels)
+    staged = None
+    if stage_data:
+        # Fast path: the whole dataset lives in HBM (sharded over the batch
+        # axis under a mesh) and every epoch runs as ONE jitted lax.scan —
+        # only the shuffle permutation and scalar metrics cross the host
+        # boundary per epoch. Trajectory is exactly the per-step loop's
+        # (train/staged.py; the all-in-RAM design of the reference moved to
+        # HBM, training/README.md:18).
+        from dsen2_tpu.train.staged import stage_dataset
+
+        staged = stage_dataset(
+            cfg, opt, train_cfg.batch_size,
+            train_inputs, train_labels, val_inputs, val_labels,
+            mesh=mesh, precision=precision, remat=remat,
+        )
 
     def place_batch(arrs):
         if mesh is None:
@@ -131,42 +186,80 @@ def fit(
         min_lr=train_cfg.plateau_min_lr,
         verbose=verbose,
     )
+    if plateau_state:
+        for k, v in plateau_state.items():
+            setattr(plateau, k, type(getattr(plateau, k))(v))
+    history = history if history is not None else {
+        "loss": [], "val_loss": [], "mse": [], "lr": []
+    }
     logger = ckpt = None
     if train_cfg.out_dir:
         os.makedirs(train_cfg.out_dir, exist_ok=True)
-        logger = LossLogger(train_cfg.out_dir, train_cfg.model_nr, train_cfg.lr)
+        logger = LossLogger(
+            train_cfg.out_dir, train_cfg.model_nr, train_cfg.lr,
+            append=start_epoch > 0,
+        )
+        logger.losses = list(history["loss"])
+        logger.val_losses = list(history["val_loss"])
         ckpt = BestCheckpoint(
             os.path.join(
                 train_cfg.out_dir, f"{train_cfg.model_nr}lr_{train_cfg.lr:.0e}"
             ),
             verbose=verbose,
         )
+        if best_val is not None:
+            ckpt.best = best_val
 
     n = train_labels.shape[0]
     rng = np.random.default_rng(train_cfg.seed)
-    history: Dict[str, list] = {"loss": [], "val_loss": [], "mse": [], "lr": []}
+    # Fast-forward the shuffle stream over already-completed epochs so a
+    # resumed run sees the same batch order the uninterrupted run would.
+    for _ in range(start_epoch):
+        rng.permutation(n)
     epochs = train_cfg.epochs if epochs is None else epochs
 
     # `live` is updated by the epoch loop after every completed epoch so the
     # interrupt handler saves the CURRENT state, not fit's initial bindings.
     live = {"params": params, "opt_state": opt_state}
+
+    def save_state(tag: str = "state") -> None:
+        """Full-state checkpoint: params + optimizer + plateau + history."""
+        if not train_cfg.out_dir:
+            return
+        from dsen2_tpu.weights.checkpoint import save_train_state
+
+        extra = {
+            "plateau": {
+                "lr": np.asarray(plateau.lr),
+                "best": np.asarray(plateau.best),
+                "wait": np.asarray(plateau.wait),
+                "cooldown_counter": np.asarray(plateau.cooldown_counter),
+            },
+            "best_val": np.asarray(ckpt.best if ckpt else np.inf),
+            "history": {k: np.asarray(v, np.float64) for k, v in history.items()},
+        }
+        path = os.path.join(train_cfg.out_dir, f"{train_cfg.model_nr}{tag}")
+        save_train_state(
+            path, live["params"], live["opt_state"],
+            epoch=len(history["loss"]), extra=extra,
+        )
+
     try:
         _epoch_loop(
             train_cfg, train_inputs, train_labels, val_inputs, val_labels,
             live, train_step, eval_step, plateau, logger, ckpt,
-            n, rng, history, epochs, verbose, place_batch,
+            n, rng, history, start_epoch, epochs, verbose, place_batch,
+            save_state, staged,
         )
     except KeyboardInterrupt:
         # Failure handling the reference lacks (SURVEY.md §5.3): an
         # interrupted run leaves a resumable full-state checkpoint.
         if train_cfg.out_dir:
-            from dsen2_tpu.weights.checkpoint import save_train_state
-
-            path = os.path.join(train_cfg.out_dir, f"{train_cfg.model_nr}interrupted")
-            save_train_state(
-                path, live["params"], live["opt_state"], epoch=len(history["loss"])
+            save_state("interrupted")
+            print(
+                "interrupted: full train state saved to "
+                + os.path.join(train_cfg.out_dir, f"{train_cfg.model_nr}interrupted")
             )
-            print(f"interrupted: full train state saved to {path}")
         raise
 
     return (
@@ -178,35 +271,54 @@ def fit(
     )
 
 
+def _prefetch(gen, depth: int = 2):
+    """Run a batch-producing generator on a background thread with a bounded
+    queue so host indexing + device_put of batch k+1 overlaps step k
+    (double-buffering for the non-staged path; the staged path has no
+    per-step transfers at all)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    END = object()
+
+    def run():
+        try:
+            for item in gen:
+                q.put(("ok", item))
+        except BaseException as e:  # noqa: BLE001 — reraised on the consumer
+            q.put(("err", e))
+            return
+        q.put(("end", END))
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        kind, item = q.get()
+        if kind == "err":
+            raise item
+        if kind == "end":
+            return
+        yield item
+
+
 def _epoch_loop(
     train_cfg, train_inputs, train_labels, val_inputs, val_labels,
     live, train_step, eval_step, plateau, logger, ckpt,
-    n, rng, history, epochs, verbose, place_batch,
+    n, rng, history, start_epoch, epochs, verbose, place_batch,
+    save_state, staged=None,
 ):
     params, opt_state = live["params"], live["opt_state"]
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
-        losses, mses, weights = [], [], []
-        for idx in _batches(n, train_cfg.batch_size, rng, shuffle=True):
-            binputs = place_batch([a[idx] for a in train_inputs])
-            btarget = place_batch([train_labels[idx]])[0]
-            params, opt_state, loss, mse_ = train_step(params, opt_state, binputs, btarget)
-            losses.append(loss)
-            mses.append(mse_)
-            weights.append(len(idx))
-        w = np.asarray(weights, np.float64)
-        loss = float(np.average([float(x) for x in losses], weights=w))
-        mse_ = float(np.average([float(x) for x in mses], weights=w))
-
-        # Validation in batches (val set may be large).
-        vl, vw = [], []
-        for idx in _batches(val_labels.shape[0], train_cfg.batch_size, rng, shuffle=False):
-            vi = place_batch([a[idx] for a in val_inputs])
-            vt = place_batch([val_labels[idx]])[0]
-            l, _ = eval_step(params, vi, vt)
-            vl.append(float(l))
-            vw.append(len(idx))
-        val_loss = float(np.average(vl, weights=np.asarray(vw, np.float64)))
+        if staged is not None:
+            loss, mse_, val_loss, params, opt_state = _staged_epoch(
+                staged, train_cfg, params, opt_state, rng, n
+            )
+        else:
+            loss, mse_, val_loss, params, opt_state = _host_fed_epoch(
+                train_cfg, train_inputs, train_labels, val_inputs, val_labels,
+                params, opt_state, train_step, eval_step, rng, n, place_batch,
+            )
 
         new_lr = plateau.step(val_loss)
         if new_lr != float(opt_state.hyperparams["learning_rate"]):
@@ -224,8 +336,78 @@ def _epoch_loop(
             logger.on_epoch_end(epoch, loss, val_loss, new_lr, last=epoch == epochs - 1)
         if ckpt:
             ckpt.maybe_save(val_loss, params)
+        # Periodic full-state checkpoint (SIGKILL-safe resume, unlike the
+        # interrupt-only save) + one on the final epoch so finished runs can
+        # be extended later.
+        done = len(history["loss"])
+        if train_cfg.state_every and (
+            done % train_cfg.state_every == 0 or epoch == epochs - 1
+        ):
+            save_state()
         if verbose:
             print(
                 f"epoch {epoch}: loss {loss:.3e} val {val_loss:.3e} "
                 f"lr {new_lr:.1e} ({time.time() - t0:.1f}s)"
             )
+
+
+def _staged_epoch(staged, train_cfg, params, opt_state, rng, n):
+    """One epoch on the HBM-resident dataset: a single scanned device call
+    for training and one for validation (train/staged.py)."""
+    from dsen2_tpu.train.staged import pad_perm
+
+    idx, mask = pad_perm(rng.permutation(n), train_cfg.batch_size)
+    params, opt_state, loss, mse_ = staged.train_epoch(
+        params, opt_state, staged.train_inputs, staged.train_labels,
+        jnp.asarray(idx), jnp.asarray(mask),
+    )
+    vloss, _ = staged.eval_epoch(
+        params, staged.val_inputs, staged.val_labels, staged.val_idx, staged.val_mask
+    )
+    return float(loss), float(mse_), float(vloss), params, opt_state
+
+
+def _host_fed_epoch(
+    train_cfg, train_inputs, train_labels, val_inputs, val_labels,
+    params, opt_state, train_step, eval_step, rng, n, place_batch,
+):
+    """One epoch fed from host RAM, with background double-buffering."""
+    perm = rng.permutation(n)
+
+    def produce_train():
+        for i in range(0, n, train_cfg.batch_size):
+            idx = perm[i : i + train_cfg.batch_size]
+            yield (
+                len(idx),
+                place_batch([a[idx] for a in train_inputs]),
+                place_batch([train_labels[idx]])[0],
+            )
+
+    losses, mses, weights = [], [], []
+    for cnt, binputs, btarget in _prefetch(produce_train()):
+        params, opt_state, loss, mse_ = train_step(params, opt_state, binputs, btarget)
+        losses.append(loss)
+        mses.append(mse_)
+        weights.append(cnt)
+    w = np.asarray(weights, np.float64)
+    loss = float(np.average([float(x) for x in losses], weights=w))
+    mse_ = float(np.average([float(x) for x in mses], weights=w))
+
+    n_val = val_labels.shape[0]
+
+    def produce_val():
+        for i in range(0, n_val, train_cfg.batch_size):
+            idx = np.arange(i, min(i + train_cfg.batch_size, n_val))
+            yield (
+                len(idx),
+                place_batch([a[idx] for a in val_inputs]),
+                place_batch([val_labels[idx]])[0],
+            )
+
+    vl, vw = [], []
+    for cnt, vi, vt in _prefetch(produce_val()):
+        l, _ = eval_step(params, vi, vt)
+        vl.append(float(l))
+        vw.append(cnt)
+    val_loss = float(np.average(vl, weights=np.asarray(vw, np.float64)))
+    return loss, mse_, val_loss, params, opt_state

@@ -103,6 +103,49 @@ class TestTrainPredictCLI:
         assert np.isfinite(arr).all()
 
 
+class TestTrainResumeCLI:
+    """Full-state resume driven through the CLI: train k epochs, resume from
+    the periodic orbax state dir, and land on the same weights as an
+    uninterrupted run (beats training/supres_train.py:181-185's weights-only
+    resume)."""
+
+    def _make_train_data(self, root):
+        rng = np.random.default_rng(7)
+        n = 32
+        tile = root / "train" / "SYNTH_T11XXX.SAFE"
+        os.makedirs(tile)
+        d10 = (rng.random((n, 4, 16, 16)) * 2000).astype(np.float32)
+        d20 = (rng.random((n, 6, 16, 16)) * 2000).astype(np.float32)
+        np.save(tile / "data10.npy", d10)
+        np.save(tile / "data20.npy", d20)
+        np.save(tile / "data20_gt.npy", (d20 * 1.2).astype(np.float32))
+        val = np.zeros(n, bool)
+        val[::4] = True
+        np.save(root / "train" / "val_index.npy", val)
+
+    def test_cli_resume_matches_uninterrupted(self, tmp_path):
+        a, b = tmp_path / "a", tmp_path / "b"
+        for root in (a, b):
+            self._make_train_data(root)
+        common = ["--batch-size", "8", "--model-nr", "s2_555_"]
+        rc = train_cli.main(["--path", str(a) + "/", "--epochs", "4"] + common)
+        assert rc == 0
+        rc = train_cli.main(["--path", str(b) + "/", "--epochs", "2"] + common)
+        assert rc == 0
+        state_dir = b / "network_data" / "s2_555_state"
+        assert state_dir.is_dir()
+        rc = train_cli.main(
+            ["--path", str(b) + "/", "--epochs", "4", "--batch-size", "8",
+             "--resume", str(state_dir)]
+        )
+        assert rc == 0
+        wa = np.load(a / "network_data" / "s2_555_lr_1e-04.npz")
+        wb = np.load(b / "network_data" / "s2_555_lr_1e-04.npz")
+        assert set(wa.files) == set(wb.files)
+        for k in wa.files:
+            np.testing.assert_allclose(wb[k], wa[k], rtol=1e-5, atol=1e-7)
+
+
 class TestDemoCLI:
     def test_gt_scene_branch(self, tmp_path):
         """A synthetic GT-bearing .mat scene exercises the pre-simulated

@@ -192,6 +192,112 @@ class TestInterruptCheckpoint:
         assert diff > 0, "interrupt checkpoint saved the initial state"
 
 
+class TestStagedEpochs:
+    """The HBM-resident scanned-epoch path (stage_data=True) must follow the
+    exact trajectory of the per-step host-fed loop — same shuffle stream,
+    masked short batches equal to Keras's short-batch steps — on one device
+    and on the 8-device CPU mesh."""
+
+    def _data(self, n=42):  # 42 = 2*16 + 10: exercises the masked short batch
+        rng = np.random.default_rng(5)
+        x10 = rng.random((n, 16, 16, 4), dtype=np.float32)
+        x20 = rng.random((n, 16, 16, 6), dtype=np.float32)
+        lb = (x20 * 1.4 + 0.05).astype(np.float32)
+        k = n - 10
+        return (x10[:k], x20[:k]), lb[:k], (x10[k:], x20[k:]), lb[k:]
+
+    @pytest.mark.parametrize("use_mesh", [False, True])
+    def test_staged_matches_host_fed(self, use_mesh):
+        from dsen2_tpu.parallel.mesh import make_mesh
+
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tcfg = TrainConfig(lr=1e-3, batch_size=16)
+        tr_in, tr_lb, va_in, va_lb = self._data()
+        mesh = make_mesh(data=8) if use_mesh else None
+        _, h_ref = fit(cfg, tcfg, tr_in, tr_lb, va_in, va_lb,
+                       epochs=3, verbose=False, mesh=mesh, stage_data=False)
+        _, h_st = fit(cfg, tcfg, tr_in, tr_lb, va_in, va_lb,
+                      epochs=3, verbose=False, mesh=mesh, stage_data=True)
+        np.testing.assert_allclose(h_st["loss"], h_ref["loss"], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            h_st["val_loss"], h_ref["val_loss"], rtol=1e-5, atol=1e-7
+        )
+
+    def test_staged_params_match(self):
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tcfg = TrainConfig(lr=1e-3, batch_size=16)
+        tr_in, tr_lb, va_in, va_lb = self._data()
+        s_ref, _ = fit(cfg, tcfg, tr_in, tr_lb, va_in, va_lb,
+                       epochs=2, verbose=False, mesh=None, stage_data=False)
+        s_st, _ = fit(cfg, tcfg, tr_in, tr_lb, va_in, va_lb,
+                      epochs=2, verbose=False, mesh=None, stage_data=True)
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7
+            ),
+            s_ref.params, s_st.params,
+        )
+
+
+class TestFullStateResume:
+    """Exact-trajectory resume: kill-at-epoch-k + resume must equal the
+    uninterrupted run (params, losses, shuffle order, optimizer moments) —
+    the capability the reference's weights-only --resume lacks
+    (training/supres_train.py:181-185)."""
+
+    def _data(self):
+        rng = np.random.default_rng(3)
+        n = 48
+        x10 = rng.random((n, 16, 16, 4), dtype=np.float32)
+        x20 = rng.random((n, 16, 16, 6), dtype=np.float32)
+        lb = (x20 * 1.5 + 0.1).astype(np.float32)
+        return (x10[:32], x20[:32]), lb[:32], (x10[32:], x20[32:]), lb[32:]
+
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        from dsen2_tpu.train.loop import restore_fit_state
+
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tr_in, tr_lb, va_in, va_lb = self._data()
+
+        tc_a = TrainConfig(lr=1e-3, batch_size=16, out_dir=str(tmp_path / "a"),
+                           model_nr="s2_901_", state_every=0)
+        state_a, hist_a = fit(cfg, tc_a, tr_in, tr_lb, va_in, va_lb,
+                              epochs=6, verbose=False, mesh=None)
+
+        tc_b = TrainConfig(lr=1e-3, batch_size=16, out_dir=str(tmp_path / "b"),
+                           model_nr="s2_902_", state_every=3)
+        fit(cfg, tc_b, tr_in, tr_lb, va_in, va_lb,
+            epochs=3, verbose=False, mesh=None)
+        rs = restore_fit_state(str(tmp_path / "b" / "s2_902_state"), cfg, tc_b)
+        assert rs["start_epoch"] == 3
+        state_b, hist_b = fit(cfg, tc_b, tr_in, tr_lb, va_in, va_lb,
+                              epochs=6, verbose=False, mesh=None, **rs)
+
+        assert len(hist_b["loss"]) == 6
+        np.testing.assert_allclose(hist_b["loss"], hist_a["loss"], rtol=1e-5)
+        np.testing.assert_allclose(hist_b["val_loss"], hist_a["val_loss"], rtol=1e-5)
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7
+            ),
+            state_a.params, state_b.params,
+        )
+
+    def test_restore_carries_plateau_and_best(self, tmp_path):
+        from dsen2_tpu.train.loop import restore_fit_state
+
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tr_in, tr_lb, va_in, va_lb = self._data()
+        tcfg = TrainConfig(lr=1e-3, batch_size=16, out_dir=str(tmp_path),
+                           model_nr="s2_903_", state_every=2)
+        fit(cfg, tcfg, tr_in, tr_lb, va_in, va_lb, epochs=2, verbose=False, mesh=None)
+        rs = restore_fit_state(str(tmp_path / "s2_903_state"), cfg, tcfg)
+        assert rs["start_epoch"] == 2
+        assert set(rs["plateau_state"]) == {"lr", "best", "wait", "cooldown_counter"}
+        assert rs["best_val"] == min(rs["history"]["val_loss"])
+        assert len(rs["history"]["loss"]) == 2
+
+
 class TestShortBatchOnMesh:
     def test_final_short_batch_survives_sharding(self, tmp_path):
         """n % batch_size not divisible by the device count must not crash

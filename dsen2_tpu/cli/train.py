@@ -38,6 +38,14 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--model-nr", default="s2_038_", help="7-char run prefix")
+    ap.add_argument("--augment", action="store_true",
+                    help="random flip/rot90 augmentation (the paper's protocol)")
+    ap.add_argument("--stage-data", action="store_true",
+                    help="stage the dataset into HBM and run each epoch as "
+                    "one scanned device call (fast input pipeline)")
+    ap.add_argument("--stream", action="store_true",
+                    help="stream tile archives off disk instead of loading "
+                    "all patches in RAM (for datasets beyond host memory)")
     ap.add_argument("--smoke", action="store_true",
                     help="2-epoch training on synthetic data (CI self-test)")
     args = ap.parse_args(argv)
@@ -74,8 +82,20 @@ def main(argv=None) -> int:
     from dsen2_tpu.weights import load_keras_weights
 
     print("Loading the training data...")
-    train_in, train_lb, val_in, val_lb = open_data_files(args.path, args.run_60, SCALE)
-    print(f"Loaded {train_lb.shape[0]} train / {val_lb.shape[0]} val patches.")
+    if args.stream:
+        from dsen2_tpu.data.streaming import StreamingPatchDataset
+
+        train_in = StreamingPatchDataset(args.path, args.run_60, SCALE)
+        train_lb = val_in = val_lb = None
+        print(
+            f"Streaming {train_in.n_train} train / {train_in.n_val} val "
+            f"patches from {len(train_in.dsets)} tiles."
+        )
+    else:
+        train_in, train_lb, val_in, val_lb = open_data_files(
+            args.path, args.run_60, SCALE
+        )
+        print(f"Loaded {train_lb.shape[0]} train / {val_lb.shape[0]} val patches.")
 
     params = None
     resume_kwargs = {}
@@ -101,6 +121,7 @@ def main(argv=None) -> int:
     tcfg = TrainConfig(
         lr=args.lr, batch_size=batch, model_nr=model_nr,
         out_dir=os.path.join(args.path, "network_data"),
+        augment=args.augment,
     )
     if full_state_resume:
         from dsen2_tpu.train.loop import restore_fit_state
@@ -118,7 +139,8 @@ def main(argv=None) -> int:
     if params is not None:
         resume_kwargs["params"] = params
     _, hist = fit(cfg, tcfg, train_in, train_lb, val_in, val_lb,
-                  epochs=args.epochs, remat=args.deep, **resume_kwargs)
+                  epochs=args.epochs, remat=args.deep,
+                  stage_data=args.stage_data, **resume_kwargs)
     return 0
 
 

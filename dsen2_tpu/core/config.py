@@ -106,3 +106,7 @@ class TrainConfig:
     # weights (training/supres_train.py:181-185); this makes the exact
     # trajectory resumable after any crash, not just Ctrl-C.
     state_every: int = 25
+    # Random dihedral (flip/rot90) augmentation of training samples — the
+    # paper's protocol; applied identically to every input and the label.
+    # Deterministic per (seed, epoch), so resume keeps the trajectory.
+    augment: bool = False

@@ -82,14 +82,6 @@ def restore_fit_state(path: str, cfg: ModelConfig, train_cfg: TrainConfig) -> Di
     }
 
 
-def _batches(n: int, batch_size: int, rng: np.random.Generator, shuffle: bool):
-    idx = rng.permutation(n) if shuffle else np.arange(n)
-    # Keras fit drops no samples; the final short batch runs at its own size
-    # (retraces once for the remainder shape, then it's cached).
-    for i in range(0, n, batch_size):
-        yield idx[i : i + batch_size]
-
-
 def fit(
     cfg: ModelConfig,
     train_cfg: TrainConfig,
@@ -115,7 +107,21 @@ def fit(
     {model_nr}lr_{lr:.0e}.hdf5 like training/supres_train.py:195).
 
     Pass opt_state/start_epoch/plateau_state/history/best_val (e.g. via
-    restore_fit_state) to resume the exact trajectory of an earlier run."""
+    restore_fit_state) to resume the exact trajectory of an earlier run.
+
+    `train_inputs` may instead be a data/streaming.py::StreamingPatchDataset
+    (pass train_labels=None); the epoch then streams tile archives off disk
+    with bounded RAM, and the val split defaults to ds.load_val() when
+    val_labels is None."""
+    stream_ds = train_inputs if hasattr(train_inputs, "epoch_batches") else None
+    if stream_ds is not None:
+        if stage_data:
+            raise ValueError(
+                "stage_data=True is incompatible with a streaming dataset "
+                "(streaming exists precisely because the data exceeds memory)"
+            )
+        if val_labels is None:
+            val_inputs, val_labels = stream_ds.load_val()
     if params is None:
         params = s2net.init_params(jax.random.PRNGKey(train_cfg.seed), cfg)
     if mesh is None and jax.device_count() > 1:
@@ -144,6 +150,7 @@ def fit(
             cfg, opt, train_cfg.batch_size,
             train_inputs, train_labels, val_inputs, val_labels,
             mesh=mesh, precision=precision, remat=remat,
+            augment=train_cfg.augment,
         )
 
     def place_batch(arrs):
@@ -210,12 +217,15 @@ def fit(
         if best_val is not None:
             ckpt.best = best_val
 
-    n = train_labels.shape[0]
+    n = stream_ds.n_train if stream_ds is not None else train_labels.shape[0]
     rng = np.random.default_rng(train_cfg.seed)
     # Fast-forward the shuffle stream over already-completed epochs so a
     # resumed run sees the same batch order the uninterrupted run would.
-    for _ in range(start_epoch):
-        rng.permutation(n)
+    # (Streaming epochs draw from a per-(seed,epoch) rng instead and consume
+    # nothing from this stream.)
+    if stream_ds is None:
+        for _ in range(start_epoch):
+            rng.permutation(n)
     epochs = train_cfg.epochs if epochs is None else epochs
 
     # `live` is updated by the epoch loop after every completed epoch so the
@@ -249,7 +259,7 @@ def fit(
             train_cfg, train_inputs, train_labels, val_inputs, val_labels,
             live, train_step, eval_step, plateau, logger, ckpt,
             n, rng, history, start_epoch, epochs, verbose, place_batch,
-            save_state, staged,
+            save_state, staged, stream_ds,
         )
     except KeyboardInterrupt:
         # Failure handling the reference lacks (SURVEY.md §5.3): an
@@ -305,19 +315,28 @@ def _epoch_loop(
     train_cfg, train_inputs, train_labels, val_inputs, val_labels,
     live, train_step, eval_step, plateau, logger, ckpt,
     n, rng, history, start_epoch, epochs, verbose, place_batch,
-    save_state, staged=None,
+    save_state, staged=None, stream_ds=None,
 ):
     params, opt_state = live["params"], live["opt_state"]
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         if staged is not None:
             loss, mse_, val_loss, params, opt_state = _staged_epoch(
-                staged, train_cfg, params, opt_state, rng, n
+                staged, train_cfg, params, opt_state, rng, n, epoch
             )
         else:
-            loss, mse_, val_loss, params, opt_state = _host_fed_epoch(
-                train_cfg, train_inputs, train_labels, val_inputs, val_labels,
-                params, opt_state, train_step, eval_step, rng, n, place_batch,
+            if stream_ds is not None:
+                producer = _stream_producer(
+                    stream_ds, train_cfg, epoch, place_batch
+                )
+            else:
+                producer = _host_producer(
+                    train_cfg, train_inputs, train_labels, rng, n,
+                    place_batch, epoch,
+                )
+            loss, mse_, val_loss, params, opt_state = _run_host_epoch(
+                producer, train_cfg, val_inputs, val_labels,
+                params, opt_state, train_step, eval_step, place_batch,
             )
 
         new_lr = plateau.step(val_loss)
@@ -351,15 +370,16 @@ def _epoch_loop(
             )
 
 
-def _staged_epoch(staged, train_cfg, params, opt_state, rng, n):
+def _staged_epoch(staged, train_cfg, params, opt_state, rng, n, epoch):
     """One epoch on the HBM-resident dataset: a single scanned device call
     for training and one for validation (train/staged.py)."""
-    from dsen2_tpu.train.staged import pad_perm
+    from dsen2_tpu.train.staged import epoch_aug_codes, pad_perm
 
     idx, mask = pad_perm(rng.permutation(n), train_cfg.batch_size)
+    aug = epoch_aug_codes(train_cfg.seed, epoch, *idx.shape)
     params, opt_state, loss, mse_ = staged.train_epoch(
         params, opt_state, staged.train_inputs, staged.train_labels,
-        jnp.asarray(idx), jnp.asarray(mask),
+        jnp.asarray(idx), jnp.asarray(mask), jnp.asarray(aug),
     )
     vloss, _ = staged.eval_epoch(
         params, staged.val_inputs, staged.val_labels, staged.val_idx, staged.val_mask
@@ -367,24 +387,72 @@ def _staged_epoch(staged, train_cfg, params, opt_state, rng, n):
     return float(loss), float(mse_), float(vloss), params, opt_state
 
 
-def _host_fed_epoch(
-    train_cfg, train_inputs, train_labels, val_inputs, val_labels,
-    params, opt_state, train_step, eval_step, rng, n, place_batch,
-):
-    """One epoch fed from host RAM, with background double-buffering."""
-    perm = rng.permutation(n)
+def _epoch_augmenter(train_cfg, epoch):
+    """Returns augment(arrs, step_i, count) applying the per-(seed,epoch)
+    dihedral codes, or a passthrough when augmentation is off."""
+    if not train_cfg.augment:
+        return lambda arrs, step_i, count: arrs
+    from dsen2_tpu.train.staged import dihedral_np, epoch_aug_codes
 
-    def produce_train():
-        for i in range(0, n, train_cfg.batch_size):
-            idx = perm[i : i + train_cfg.batch_size]
-            yield (
-                len(idx),
-                place_batch([a[idx] for a in train_inputs]),
-                place_batch([train_labels[idx]])[0],
+    # Codes are consumed positionally; streaming epochs don't know their
+    # exact step count up front (carry across tiles), so the table grows
+    # on demand (epoch_aug_codes is a pure function of (seed, epoch, shape),
+    # and a larger table is a prefix-extension of a smaller one).
+    state = {"codes": None}
+
+    def augment(arrs, step_i, count):
+        if state["codes"] is None or step_i >= state["codes"].shape[0]:
+            grow = max(64, 2 * (step_i + 1))
+            state["codes"] = epoch_aug_codes(
+                train_cfg.seed, epoch, grow, train_cfg.batch_size
             )
+        c = state["codes"][step_i, :count]
+        return [
+            np.stack([dihedral_np(a[j], c[j]) for j in range(count)])
+            for a in arrs
+        ]
 
+    return augment
+
+
+def _host_producer(train_cfg, train_inputs, train_labels, rng, n, place_batch, epoch):
+    """Batch producer over in-RAM arrays: global shuffle (Keras semantics)."""
+    perm = rng.permutation(n)
+    augment = _epoch_augmenter(train_cfg, epoch)
+
+    def produce():
+        for step_i, i in enumerate(range(0, n, train_cfg.batch_size)):
+            idx = perm[i : i + train_cfg.batch_size]
+            arrs = augment(
+                [a[idx] for a in train_inputs] + [train_labels[idx]],
+                step_i, len(idx),
+            )
+            yield len(idx), place_batch(arrs[:-1]), place_batch([arrs[-1]])[0]
+
+    return produce()
+
+
+def _stream_producer(stream_ds, train_cfg, epoch, place_batch):
+    """Batch producer over a StreamingPatchDataset (tile-shuffled stream)."""
+    augment = _epoch_augmenter(train_cfg, epoch)
+
+    def produce():
+        for step_i, (cnt, bin_, blb) in enumerate(
+            stream_ds.epoch_batches(epoch, train_cfg.batch_size)
+        ):
+            arrs = augment(list(bin_) + [blb], step_i, cnt)
+            yield cnt, place_batch(arrs[:-1]), place_batch([arrs[-1]])[0]
+
+    return produce()
+
+
+def _run_host_epoch(
+    producer, train_cfg, val_inputs, val_labels,
+    params, opt_state, train_step, eval_step, place_batch,
+):
+    """One epoch fed from the host, with background double-buffering."""
     losses, mses, weights = [], [], []
-    for cnt, binputs, btarget in _prefetch(produce_train()):
+    for cnt, binputs, btarget in _prefetch(producer):
         params, opt_state, loss, mse_ = train_step(params, opt_state, binputs, btarget)
         losses.append(loss)
         mses.append(mse_)

@@ -35,7 +35,47 @@ from dsen2_tpu.core.config import ModelConfig
 from dsen2_tpu.models import s2net
 from dsen2_tpu.parallel.mesh import batch_sharding, replicated
 
-__all__ = ["StagedData", "stage_dataset", "make_staged_epoch_fns", "pad_perm"]
+__all__ = [
+    "StagedData", "stage_dataset", "make_staged_epoch_fns", "pad_perm",
+    "dihedral", "dihedral_np", "epoch_aug_codes",
+]
+
+
+def dihedral(x: jax.Array, code: jax.Array) -> jax.Array:
+    """Apply one of the 8 square symmetries (4 rotations x optional flip) to
+    an [H, W, C] image — the paper's augmentation protocol (flips/rotations)
+    as a static-shape device op. code in [0, 8): code%4 = quarter-turns,
+    code>=4 adds a vertical flip."""
+    branches = [
+        lambda v: v,
+        lambda v: jnp.rot90(v, 1, axes=(0, 1)),
+        lambda v: jnp.rot90(v, 2, axes=(0, 1)),
+        lambda v: jnp.rot90(v, 3, axes=(0, 1)),
+        lambda v: jnp.flip(v, axis=0),
+        lambda v: jnp.flip(jnp.rot90(v, 1, axes=(0, 1)), axis=0),
+        lambda v: jnp.flip(jnp.rot90(v, 2, axes=(0, 1)), axis=0),
+        lambda v: jnp.flip(jnp.rot90(v, 3, axes=(0, 1)), axis=0),
+    ]
+    return jax.lax.switch(code, branches, x)
+
+
+_dihedral_batch = jax.vmap(dihedral)
+
+
+def dihedral_np(x: np.ndarray, code: int) -> np.ndarray:
+    """numpy twin of dihedral() for the host-fed pipeline ([H, W, C])."""
+    y = np.rot90(x, code % 4, axes=(0, 1))
+    if code >= 4:
+        y = y[::-1]
+    return np.ascontiguousarray(y)
+
+
+def epoch_aug_codes(seed: int, epoch: int, steps: int, batch: int) -> np.ndarray:
+    """Deterministic per-epoch augmentation codes [steps, batch] in [0, 8).
+    Keyed by (seed, epoch) so resumed runs draw identical codes without
+    fast-forwarding a stream."""
+    rng = np.random.default_rng([seed, epoch])
+    return rng.integers(0, 8, size=(steps, batch), dtype=np.int32)
 
 
 def pad_perm(perm: np.ndarray, batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -91,6 +131,7 @@ def stage_dataset(
     mesh=None,
     precision: str = "high",
     remat: bool = False,
+    augment: bool = False,
 ) -> StagedData:
     """Stage the full dataset into HBM and build the scanned epoch fns."""
     t_in = tuple(_stage(np.asarray(a), mesh) for a in train_inputs)
@@ -102,7 +143,7 @@ def stage_dataset(
     val_idx = jnp.asarray(vi) if place is None else jax.device_put(vi, place)
     val_mask = jnp.asarray(vm) if place is None else jax.device_put(vm, place)
     train_epoch, eval_epoch = make_staged_epoch_fns(
-        cfg, opt, mesh=mesh, precision=precision, remat=remat
+        cfg, opt, mesh=mesh, precision=precision, remat=remat, augment=augment
     )
     return StagedData(
         train_inputs=t_in, train_labels=t_lb,
@@ -118,12 +159,17 @@ def make_staged_epoch_fns(
     mesh=None,
     precision: str = "high",
     remat: bool = False,
+    augment: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Build (train_epoch, eval_epoch):
 
-    train_epoch(params, opt_state, inputs, labels, idx[S,B], mask[S,B])
-        -> (params, opt_state, loss, mse)   [weighted like Keras fit]
+    train_epoch(params, opt_state, inputs, labels, idx[S,B], mask[S,B],
+        aug[S,B]) -> (params, opt_state, loss, mse)  [weighted like Keras fit]
     eval_epoch(params, inputs, labels, idx, mask) -> (loss, mse)
+
+    With augment=True, each training sample gets the dihedral symmetry
+    aug[s,b] applied to every input AND the label (geometric consistency);
+    validation is never augmented.
     """
 
     def constrain(x):
@@ -149,11 +195,14 @@ def make_staged_epoch_fns(
         loss, mse_ = masked_metrics(pred, btarget, mask)
         return loss, mse_
 
-    def train_epoch(params, opt_state, inputs, labels, idx, mask):
+    def train_epoch(params, opt_state, inputs, labels, idx, mask, aug):
         def body(carry, step):
             params, opt_state = carry
-            bidx, bmask = step
+            bidx, bmask, baug = step
             binputs, btarget = batch_of(inputs, labels, bidx)
+            if augment:
+                binputs = tuple(_dihedral_batch(a, baug) for a in binputs)
+                btarget = _dihedral_batch(btarget, baug)
             (loss, mse_), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, binputs, btarget, bmask
             )
@@ -162,7 +211,7 @@ def make_staged_epoch_fns(
             return (params, opt_state), (loss, mse_, jnp.sum(bmask))
 
         (params, opt_state), (losses, mses, counts) = jax.lax.scan(
-            body, (params, opt_state), (idx, mask)
+            body, (params, opt_state), (idx, mask, aug)
         )
         w = counts / jnp.sum(counts)
         return params, opt_state, jnp.sum(losses * w), jnp.sum(mses * w)

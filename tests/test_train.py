@@ -239,6 +239,57 @@ class TestStagedEpochs:
         )
 
 
+class TestAugmentation:
+    def test_dihedral_matches_numpy(self):
+        """The device dihedral op must equal numpy rot90/flip for all 8
+        codes (and code 0 is the identity)."""
+        from dsen2_tpu.train.staged import dihedral, dihedral_np
+
+        rng = np.random.default_rng(0)
+        x = rng.random((6, 6, 3)).astype(np.float32)
+        for code in range(8):
+            dev = np.asarray(dihedral(jnp.asarray(x), jnp.int32(code)))
+            np.testing.assert_array_equal(dev, dihedral_np(x, code))
+        np.testing.assert_array_equal(
+            np.asarray(dihedral(jnp.asarray(x), jnp.int32(0))), x
+        )
+
+    def test_dihedral_group_is_closed_and_distinct(self):
+        from dsen2_tpu.train.staged import dihedral_np
+
+        x = np.arange(16, dtype=np.float32).reshape(4, 4, 1)
+        outs = [dihedral_np(x, c).tobytes() for c in range(8)]
+        assert len(set(outs)) == 8  # all symmetries distinct on this input
+
+    def test_staged_and_host_fed_augment_match(self):
+        """Both pipelines must apply the SAME per-(seed,epoch) augmentation
+        stream -> identical trajectories."""
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tcfg = TrainConfig(lr=1e-3, batch_size=16, augment=True)
+        rng = np.random.default_rng(11)
+        n = 40
+        x10 = rng.random((n, 16, 16, 4), dtype=np.float32)
+        x20 = rng.random((n, 16, 16, 6), dtype=np.float32)
+        lb = (x20 * 1.3).astype(np.float32)
+        data = (x10[:32], x20[:32]), lb[:32], (x10[32:], x20[32:]), lb[32:]
+        _, h_host = fit(cfg, tcfg, *data, epochs=2, verbose=False, mesh=None,
+                        stage_data=False)
+        _, h_staged = fit(cfg, tcfg, *data, epochs=2, verbose=False, mesh=None,
+                          stage_data=True)
+        np.testing.assert_allclose(h_staged["loss"], h_host["loss"],
+                                   rtol=1e-5, atol=1e-7)
+        # and augmentation actually changes the trajectory
+        _, h_plain = fit(cfg, dataclasses_replace_augment(tcfg, False), *data,
+                         epochs=2, verbose=False, mesh=None, stage_data=True)
+        assert not np.allclose(h_plain["loss"], h_staged["loss"])
+
+
+def dataclasses_replace_augment(tcfg, value):
+    import dataclasses as _dc
+
+    return _dc.replace(tcfg, augment=value)
+
+
 class TestFullStateResume:
     """Exact-trajectory resume: kill-at-epoch-k + resume must equal the
     uninterrupted run (params, losses, shuffle order, optimizer moments) —

@@ -125,6 +125,10 @@ def main() -> None:
                 "d2h_seconds_est": round(d2h_est, 3),
                 "n_chips": n_chips,
                 "precision": precision,
+                "note": "random weights (conv timing is weight-independent); "
+                "outputs scored device-resident, d2h reported separately "
+                "(tunnel artifact, see docstring); honest e2e-incl-readback "
+                "number: scripts/bench_e2e_readback.py",
             }
         )
     )

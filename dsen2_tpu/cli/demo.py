@@ -106,7 +106,7 @@ def run_scene(path: str, deep: bool, plots: bool, out_dir: str) -> dict:
         from dsen2_tpu.core.bands import BANDS_20M
         from dsen2_tpu.infer.metrics import evaluation_table
 
-        print(evaluation_table(sr20, im20, bic, BANDS_20M))
+        print(evaluation_table(sr20, im20, bic, BANDS_20M, scale=2))
         gt20 = im20
 
         if im60 is not None:
@@ -135,6 +135,9 @@ def run_scene(path: str, deep: bool, plots: bool, out_dir: str) -> dict:
             results["rmse_dsen2_60"] = rmse(sr60, c60)
             print("Bicubic 6x:")
             results["rmse_bicubic_60"] = rmse(bic60, c60)
+            from dsen2_tpu.core.bands import BANDS_60M
+
+            print(evaluation_table(sr60, c60, bic60, BANDS_60M, scale=6))
 
     if plots:
         os.makedirs(out_dir, exist_ok=True)

@@ -1,6 +1,15 @@
 from dsen2_tpu.infer.api import dsen2_20, dsen2_60, sr_pipeline, sr_tile
 from dsen2_tpu.infer.engine import sr_banded
-from dsen2_tpu.infer.metrics import evaluation_table, per_band_rmse, per_band_sre, rmse, sre_db
+from dsen2_tpu.infer.metrics import (
+    ergas,
+    evaluation_table,
+    per_band_rmse,
+    per_band_sre,
+    rmse,
+    sam_deg,
+    sre_db,
+    uiq,
+)
 
 __all__ = [
     "dsen2_20",
@@ -8,9 +17,12 @@ __all__ = [
     "sr_pipeline",
     "sr_tile",
     "sr_banded",
+    "ergas",
     "evaluation_table",
     "per_band_rmse",
     "per_band_sre",
     "rmse",
+    "sam_deg",
     "sre_db",
+    "uiq",
 ]

@@ -172,3 +172,50 @@ class TestMetrics:
         assert abs(sre_db(sr, gt) - s.mean()) < 1e-9
         table = evaluation_table(sr, gt, gt + 20.0, ["B5", "B6", "B7"])
         assert "B6" in table and "ALL" in table
+
+    def test_sam_ergas_uiq_identity(self, rng):
+        """All three paper metrics hit their perfect score on sr == gt."""
+        from dsen2_tpu.infer.metrics import ergas, sam_deg, uiq
+
+        gt = (rng.random((24, 24, 3)) * 1000 + 50).astype(np.float32)
+        assert sam_deg(gt, gt) < 1e-6
+        assert ergas(gt, gt, 2) < 1e-9
+        assert abs(uiq(gt, gt) - 1.0) < 1e-9
+
+    def test_sam_scale_invariance(self, rng):
+        """SAM measures spectral shape only: per-pixel rescaling of the
+        spectra leaves it at zero, while a per-band distortion does not."""
+        from dsen2_tpu.infer.metrics import sam_deg
+
+        gt = (rng.random((16, 16, 4)) * 1000 + 50).astype(np.float64)
+        gains = 1.0 + rng.random((16, 16, 1))
+        assert sam_deg(gt * gains, gt) < 1e-5
+        distorted = gt * np.array([1.0, 2.0, 0.5, 1.0])
+        assert sam_deg(distorted, gt) > 1.0
+
+    def test_ergas_hand_value(self):
+        """One band, constant gt=100, constant error 10, scale 2:
+        ERGAS = 100/2 * sqrt((10/100)^2) = 5."""
+        from dsen2_tpu.infer.metrics import ergas
+
+        gt = np.full((12, 12, 1), 100.0)
+        assert abs(ergas(gt + 10.0, gt, 2) - 5.0) < 1e-9
+        assert abs(ergas(gt + 10.0, gt, 6) - 5.0 / 3.0) < 1e-9
+
+    def test_uiq_detects_distortion(self, rng):
+        from dsen2_tpu.infer.metrics import uiq
+
+        gt = (rng.random((32, 32, 2)) * 1000).astype(np.float64)
+        noisy = gt + rng.normal(0, 200, gt.shape)
+        q = uiq(noisy, gt)
+        assert q < uiq(gt + 1e-3, gt)
+        assert -1.0 <= q <= 1.0
+        # mean-shift alone must cost luminance score
+        assert uiq(gt + 300.0, gt) < 0.9
+
+    def test_table_summary_row(self, rng):
+        from dsen2_tpu.infer.metrics import evaluation_table
+
+        gt = (rng.random((20, 20, 3)) * 1000).astype(np.float32)
+        table = evaluation_table(gt + 10.0, gt, gt + 20.0, ["B5", "B6", "B7"], scale=2)
+        assert "SAM" in table and "ERGAS" in table and "UIQ" in table

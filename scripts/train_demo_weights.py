@@ -39,6 +39,12 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "models"))
     ap.add_argument("--n-crops", type=int, default=None)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--augment", action="store_true",
+                    help="dihedral flip/rot90 augmentation (the paper's protocol)")
+    ap.add_argument("--finetune", action="store_true",
+                    help="warm-start from the currently installed weights")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the reference learning rate")
     args = ap.parse_args()
 
     import jax
@@ -110,20 +116,51 @@ def main() -> int:
     fname = reference_weight_filename(args.run_60, args.deep)
     model_nr = fname[:7]
     # match the reference filenames: only the non-deep 6x file is lr 1e-5
-    lr = 1e-5 if (args.run_60 and not args.deep) else 1e-4
-    tcfg = TrainConfig(lr=lr, batch_size=args.batch, model_nr=model_nr, out_dir=work)
+    lr = args.lr or (1e-5 if (args.run_60 and not args.deep) else 1e-4)
+    init_params = None
+    best_val = None
+    if args.finetune:
+        from dsen2_tpu.models import s2net
+        from dsen2_tpu.train.losses import mae
+        from dsen2_tpu.weights import default_params
+
+        init_params = default_params(cfg, args.run_60, args.deep)
+        # Checkpoints must only be written when the run genuinely beats the
+        # installed weights, so seed best_val with their val loss.
+        ev = jax.jit(lambda p, xs, y: mae(
+            s2net.apply(p, xs, cfg, remat=args.deep), y))
+        losses, nb = [], max(1, va_lb.shape[0] // args.batch)
+        for bi in range(nb):
+            sl = slice(bi * args.batch, None if bi == nb - 1 else (bi + 1) * args.batch)
+            n = va_lb[sl].shape[0]
+            losses.append(float(ev(init_params, tuple(jnp.asarray(v[sl]) for v in va_in),
+                                   jnp.asarray(va_lb[sl]))) * n)
+        best_val = sum(losses) / va_lb.shape[0]
+        print(f"warm-starting from installed {fname} (val MAE {best_val:.4e})")
+    tcfg = TrainConfig(
+        lr=lr, batch_size=args.batch, model_nr=model_nr, out_dir=work,
+        augment=args.augment,
+    )
     state, hist = fit(
-        cfg, tcfg, tr_in, tr_lb, va_in, va_lb,
+        cfg, tcfg, tr_in, tr_lb, va_in, va_lb, params=init_params,
         epochs=args.epochs, stage_data=True, verbose=True, remat=args.deep,
+        best_val=best_val,
     )
 
     base = os.path.join(work, f"{model_nr}lr_{lr:.0e}")
     os.makedirs(args.out, exist_ok=True)
+    installed = 0
     for ext in (".hdf5", ".npz"):
         src = base + ext
         if os.path.exists(src):
             shutil.copy(src, os.path.join(args.out, fname.replace(".hdf5", ext)))
-    print(f"installed {fname} (best val {min(hist['val_loss']):.4e}) -> {args.out}")
+            installed += 1
+    run_best = min(hist["val_loss"]) if hist["val_loss"] else float("inf")
+    if installed:
+        print(f"installed {fname} (best val {run_best:.4e}) -> {args.out}")
+    else:
+        print(f"no improvement over installed weights "
+              f"(run best {run_best:.4e} vs {best_val:.4e}); nothing installed")
     shutil.rmtree(work, ignore_errors=True)
     return 0
 

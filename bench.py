@@ -21,7 +21,8 @@ measured once and reported separately in "d2h_seconds".
 Env overrides: BENCH_SIZE (10 m grid size, default 10980; must be a multiple
 of 6), BENCH_PRECISION (default "high" = bf16x3, ~3e-5 relative error;
 "highest" for true-f32 parity; "default" for single-pass bf16 turbo),
-BENCH_REPEATS (default 1 timed repeat after warmup).
+BENCH_REPEATS (default 1 timed repeat after warmup), BENCH_BATCH2/BENCH_BATCH6
+(patch batch sizes, defaults 64/32).
 """
 
 from __future__ import annotations
@@ -72,8 +73,10 @@ def main() -> None:
     cfg6 = dsen2_6x(False)
     params2 = s2net.init_params(jax.random.PRNGKey(0), cfg2)
     params6 = s2net.init_params(jax.random.PRNGKey(1), cfg6)
-    icfg2 = InferConfig(patch_size=128, border=8, batch_size=64, precision=precision)
-    icfg6 = InferConfig(patch_size=192, border=12, batch_size=32, precision=precision)
+    batch2 = int(os.environ.get("BENCH_BATCH2", "64"))
+    batch6 = int(os.environ.get("BENCH_BATCH6", "32"))
+    icfg2 = InferConfig(patch_size=128, border=8, batch_size=batch2, precision=precision)
+    icfg6 = InferConfig(patch_size=192, border=12, batch_size=batch6, precision=precision)
 
     def full_tile():
         """Both nets end-to-end, outputs resident on device; the checksum

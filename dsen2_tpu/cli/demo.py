@@ -12,7 +12,7 @@ protocol the reference uses to create its GT scenes
 
 Usage:
   python -m dsen2_tpu.cli.demo [--data-dir DIR] [--deep] [--no-plots]
-                               [--weights-dir DIR] [--out-dir DIR]
+                               [--weights-dir DIR] [--out-dir DIR] [--ensemble]
 """
 
 from __future__ import annotations
@@ -56,7 +56,8 @@ def _save_fig(path, arrays_titles):
     plt.close(fig)
 
 
-def run_scene(path: str, deep: bool, plots: bool, out_dir: str) -> dict:
+def run_scene(path: str, deep: bool, plots: bool, out_dir: str,
+              ensemble: bool = False) -> dict:
     import jax.numpy as jnp
 
     from dsen2_tpu.data.mat import read_scene
@@ -75,7 +76,7 @@ def run_scene(path: str, deep: bool, plots: bool, out_dir: str) -> dict:
     if gt20 is not None and gt20.shape[-1] == 2:
         # 60m-GT scene (reference demo's South-Africa style: imGT has the
         # two 60m bands at 10m; testing/demoDSen2.py:67-73)
-        sr60 = dsen2_60(im10, im20, im60, deep=deep)
+        sr60 = dsen2_60(im10, im20, im60, deep=deep, ensemble=ensemble)
         bic60 = np.asarray(matlab_imresize(jnp.asarray(im60), im10.shape[:2]))
         print("DSen2_60:")
         results["rmse_dsen2_60"] = rmse(sr60, gt20)
@@ -84,7 +85,7 @@ def run_scene(path: str, deep: bool, plots: bool, out_dir: str) -> dict:
         return results
     if gt20 is not None:
         # Pre-simulated scene (reference demo style): inputs are already LR.
-        sr20 = dsen2_20(im10, im20, deep=deep)
+        sr20 = dsen2_20(im10, im20, deep=deep, ensemble=ensemble)
         bic = np.asarray(matlab_imresize(jnp.asarray(im20), im10.shape[:2]))
         print("DSen2:")
         results["rmse_dsen2_20"] = rmse(sr20, gt20)
@@ -96,7 +97,7 @@ def run_scene(path: str, deep: bool, plots: bool, out_dir: str) -> dict:
         # training/create_patches.py:227-229): original 20m becomes GT.
         d10_lr = np.asarray(wald_downsample(jnp.asarray(im10), 2))
         d20_lr = np.asarray(wald_downsample(jnp.asarray(im20), 2))
-        sr20 = dsen2_20(d10_lr, d20_lr, deep=deep)
+        sr20 = dsen2_20(d10_lr, d20_lr, deep=deep, ensemble=ensemble)
         bic = np.asarray(matlab_imresize(jnp.asarray(d20_lr), im20.shape[:2]))
         print("DSen2 (simulated GT):")
         results["rmse_dsen2_20"] = rmse(sr20, im20)
@@ -129,7 +130,8 @@ def run_scene(path: str, deep: bool, plots: bool, out_dir: str) -> dict:
             while patch // 6 - 4 > min(d60_lr6.shape[:2]) and patch > 36:
                 patch -= 36
             icfg60 = InferConfig(patch_size=patch, border=12, batch_size=32)
-            sr60 = dsen2_60(d10_lr6, d20_lr6, d60_lr6, deep=deep, infer_cfg=icfg60)
+            sr60 = dsen2_60(d10_lr6, d20_lr6, d60_lr6, deep=deep, infer_cfg=icfg60,
+                            ensemble=ensemble)
             bic60 = np.asarray(matlab_imresize(jnp.asarray(d60_lr6), c60.shape[:2]))
             print("DSen2_60 (simulated GT):")
             results["rmse_dsen2_60"] = rmse(sr60, c60)
@@ -159,6 +161,10 @@ def main(argv=None) -> int:
     ap.add_argument("--no-plots", action="store_true")
     ap.add_argument("--out-dir", default="demo_out")
     ap.add_argument("--weights-dir", default=None)
+    ap.add_argument("--ensemble", action="store_true",
+                    help="geometric self-ensemble over the 8 dihedral "
+                         "transforms (8x compute; boosts accuracy for "
+                         "orientation-robust weights)")
     args = ap.parse_args(argv)
 
     if args.weights_dir:
@@ -170,7 +176,8 @@ def main(argv=None) -> int:
         return 1
     all_results = []
     for path in scenes:
-        all_results.append(run_scene(path, args.deep, not args.no_plots, args.out_dir))
+        all_results.append(run_scene(path, args.deep, not args.no_plots, args.out_dir,
+                                     ensemble=args.ensemble))
 
     print("\n=== summary ===")
     for r in all_results:

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--copy_original_bands", action="store_true")
     p.add_argument("--save_prefix", default="")
     p.add_argument("--deep", action="store_true", help="use the VDSen2 variant")
+    p.add_argument("--ensemble", action="store_true",
+                   help="geometric self-ensemble over the 8 dihedral transforms "
+                        "(8x compute; boosts accuracy for orientation-robust "
+                        "weights)")
     return p
 
 
@@ -110,12 +114,14 @@ def main(argv=None) -> int:
     sr60 = None
     if args.run_60 and tile.data60 is not None and tile.data20 is not None:
         print("Super-resolving the 60m data into 10m bands")
-        sr60 = dsen2_60(tile.data10, tile.data20, tile.data60, deep=args.deep)
+        sr60 = dsen2_60(tile.data10, tile.data20, tile.data60, deep=args.deep,
+                        ensemble=args.ensemble)
 
     sr20 = None
     if tile.data20 is not None:
         print("Super-resolving the 20m data into 10m bands")
-        sr20 = dsen2_20(tile.data10, tile.data20, deep=args.deep)
+        sr20 = dsen2_20(tile.data10, tile.data20, deep=args.deep,
+                        ensemble=args.ensemble)
 
     if sr20 is None:
         print("No super-resolution performed, exiting")

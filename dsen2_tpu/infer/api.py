@@ -246,6 +246,26 @@ def _run(
     return np.asarray(out)
 
 
+def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
+    """Geometric self-ensemble: run the pipeline on all 8 dihedral
+    transforms of the input rasters, invert each prediction, average.
+    A standard SR accuracy boost at 8x the compute — for
+    orientation-robust weights (augmented / multi-tile training); with
+    orientation-overfit weights it can hurt (measured numbers in
+    models/README.md). The reference offers nothing comparable.
+    Non-square tiles compile a second (transposed) geometry for the odd
+    rotations."""
+    from dsen2_tpu.ops.dihedral import dihedral_np, inverse_code
+
+    acc = None
+    for code in range(8):
+        tr = [dihedral_np(np.asarray(r), code) for r in rasters]
+        sr = _run(tr, lr_factor, cfg, params, infer_cfg, mesh=mesh)
+        back = dihedral_np(np.asarray(sr), inverse_code[code]).astype(np.float64)
+        acc = back if acc is None else acc + back
+    return (acc / 8.0).astype(np.float32)
+
+
 def dsen2_20(
     d10: np.ndarray,
     d20: np.ndarray,
@@ -253,20 +273,23 @@ def dsen2_20(
     params=None,
     infer_cfg: Optional[InferConfig] = None,
     mesh=None,
+    ensemble: bool = False,
 ) -> np.ndarray:
     """Super-resolve the six 20 m bands to 10 m.
 
     d10: [H, W, 4] (B2, B3, B4, B8); d20: [H/2, W/2, 6]
     (B5, B6, B7, B8A, B11, B12) — reference testing/supres.py:15-30.
     With mesh, ONE tile's patch grid shards over the mesh's 'data' axis.
-    """
+    ensemble=True averages over the 8 dihedral transforms (8x compute;
+    an accuracy boost for orientation-robust weights)."""
     cfg = dsen2_2x(deep)
     infer_cfg = infer_cfg or InferConfig(patch_size=128, border=8)
     if params is None:
         from dsen2_tpu.weights import default_params
 
         params = default_params(cfg, run_60=False, deep=deep)
-    return _run([d10, d20], 2, cfg, params, infer_cfg, mesh=mesh)
+    run = _run_ensembled if ensemble else _run
+    return run([d10, d20], 2, cfg, params, infer_cfg, mesh=mesh)
 
 
 def dsen2_60(
@@ -277,14 +300,17 @@ def dsen2_60(
     params=None,
     infer_cfg: Optional[InferConfig] = None,
     mesh=None,
+    ensemble: bool = False,
 ) -> np.ndarray:
     """Super-resolve the two 60 m bands (B1, B9) to 10 m
     (reference testing/supres.py:33-50: patch 192, border 12).
-    With mesh, ONE tile's patch grid shards over the mesh's 'data' axis."""
+    With mesh, ONE tile's patch grid shards over the mesh's 'data' axis.
+    ensemble=True averages over the 8 dihedral transforms (8x compute)."""
     cfg = dsen2_6x(deep)
     infer_cfg = infer_cfg or InferConfig(patch_size=192, border=12)
     if params is None:
         from dsen2_tpu.weights import default_params
 
         params = default_params(cfg, run_60=True, deep=deep)
-    return _run([d10, d20, d60], 6, cfg, params, infer_cfg, mesh=mesh)
+    run = _run_ensembled if ensemble else _run
+    return run([d10, d20, d60], 6, cfg, params, infer_cfg, mesh=mesh)

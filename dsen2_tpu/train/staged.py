@@ -33,6 +33,10 @@ import optax
 
 from dsen2_tpu.core.config import ModelConfig
 from dsen2_tpu.models import s2net
+# dihedral ops live in ops/dihedral.py (shared with inference-time
+# self-ensembling); re-exported here for the augmentation call sites.
+from dsen2_tpu.ops.dihedral import dihedral, dihedral_np
+from dsen2_tpu.ops.dihedral import dihedral_batch as _dihedral_batch
 from dsen2_tpu.parallel.mesh import batch_sharding, replicated
 
 __all__ = [
@@ -41,33 +45,6 @@ __all__ = [
 ]
 
 
-def dihedral(x: jax.Array, code: jax.Array) -> jax.Array:
-    """Apply one of the 8 square symmetries (4 rotations x optional flip) to
-    an [H, W, C] image — the paper's augmentation protocol (flips/rotations)
-    as a static-shape device op. code in [0, 8): code%4 = quarter-turns,
-    code>=4 adds a vertical flip."""
-    branches = [
-        lambda v: v,
-        lambda v: jnp.rot90(v, 1, axes=(0, 1)),
-        lambda v: jnp.rot90(v, 2, axes=(0, 1)),
-        lambda v: jnp.rot90(v, 3, axes=(0, 1)),
-        lambda v: jnp.flip(v, axis=0),
-        lambda v: jnp.flip(jnp.rot90(v, 1, axes=(0, 1)), axis=0),
-        lambda v: jnp.flip(jnp.rot90(v, 2, axes=(0, 1)), axis=0),
-        lambda v: jnp.flip(jnp.rot90(v, 3, axes=(0, 1)), axis=0),
-    ]
-    return jax.lax.switch(code, branches, x)
-
-
-_dihedral_batch = jax.vmap(dihedral)
-
-
-def dihedral_np(x: np.ndarray, code: int) -> np.ndarray:
-    """numpy twin of dihedral() for the host-fed pipeline ([H, W, C])."""
-    y = np.rot90(x, code % 4, axes=(0, 1))
-    if code >= 4:
-        y = y[::-1]
-    return np.ascontiguousarray(y)
 
 
 def epoch_aug_codes(seed: int, epoch: int, steps: int, batch: int) -> np.ndarray:

@@ -117,26 +117,32 @@ def main() -> int:
     model_nr = fname[:7]
     # match the reference filenames: only the non-deep 6x file is lr 1e-5
     lr = args.lr or (1e-5 if (args.run_60 and not args.deep) else 1e-4)
-    init_params = None
-    best_val = None
-    if args.finetune:
-        from dsen2_tpu.models import s2net
-        from dsen2_tpu.train.losses import mae
-        from dsen2_tpu.weights import default_params
+    # Checkpoints must only be written when the run genuinely beats the
+    # currently installed weights (whether warm-starting or training from
+    # scratch), so seed best_val with their measured val loss. When no
+    # trained file is installed, default_params falls back to random init
+    # (with its UNTRAINED warning) and the guard is effectively open.
+    from dsen2_tpu.models import s2net
+    from dsen2_tpu.train.losses import mae
+    from dsen2_tpu.weights import default_params
 
-        init_params = default_params(cfg, args.run_60, args.deep)
-        # Checkpoints must only be written when the run genuinely beats the
-        # installed weights, so seed best_val with their val loss.
-        ev = jax.jit(lambda p, xs, y: mae(
-            s2net.apply(p, xs, cfg, remat=args.deep), y))
-        losses, nb = [], max(1, va_lb.shape[0] // args.batch)
-        for bi in range(nb):
-            sl = slice(bi * args.batch, None if bi == nb - 1 else (bi + 1) * args.batch)
-            n = va_lb[sl].shape[0]
-            losses.append(float(ev(init_params, tuple(jnp.asarray(v[sl]) for v in va_in),
-                                   jnp.asarray(va_lb[sl]))) * n)
-        best_val = sum(losses) / va_lb.shape[0]
+    installed_params = default_params(cfg, args.run_60, args.deep)
+    ev = jax.jit(lambda p, xs, y: mae(
+        s2net.apply(p, xs, cfg, remat=args.deep), y))
+    losses, nb = [], max(1, va_lb.shape[0] // args.batch)
+    for bi in range(nb):
+        sl = slice(bi * args.batch, None if bi == nb - 1 else (bi + 1) * args.batch)
+        n = va_lb[sl].shape[0]
+        losses.append(float(ev(installed_params, tuple(jnp.asarray(v[sl]) for v in va_in),
+                               jnp.asarray(va_lb[sl]))) * n)
+    best_val = sum(losses) / va_lb.shape[0]
+    init_params = None
+    if args.finetune:
+        init_params = installed_params
         print(f"warm-starting from installed {fname} (val MAE {best_val:.4e})")
+    else:
+        print(f"installed {fname} val MAE {best_val:.4e}; "
+              "will only install an improvement")
     tcfg = TrainConfig(
         lr=lr, batch_size=args.batch, model_nr=model_nr, out_dir=work,
         augment=args.augment,

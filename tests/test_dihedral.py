@@ -1,0 +1,105 @@
+"""Dihedral-group ops (ops/dihedral.py) and geometric self-ensembling
+(infer/api.py::_run_ensembled). The transforms back the paper's
+flip/rotation augmentation protocol and the inference-time ensemble; the
+correctness risk is the group bookkeeping (inverse codes, numpy/jax twins),
+so that is what is pinned here."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from dsen2_tpu.ops.dihedral import dihedral, dihedral_batch, dihedral_np, inverse_code
+
+
+@pytest.fixture()
+def img(rng):
+    # Deliberately non-square-symmetric content, non-square shape not
+    # allowed for codes 1/3 round-trips through fixed-shape jax; use square.
+    return (rng.random((6, 6, 3)) * 100).astype(np.float32)
+
+
+class TestDihedralGroup:
+    def test_all_codes_distinct(self, img):
+        outs = [dihedral_np(img, c).tobytes() for c in range(8)]
+        assert len(set(outs)) == 8
+
+    def test_inverse_round_trip(self, img):
+        for c in range(8):
+            back = dihedral_np(dihedral_np(img, c), inverse_code[c])
+            np.testing.assert_array_equal(back, img)
+
+    def test_inverse_is_group_inverse_both_orders(self, img):
+        for c in range(8):
+            fwd_then_inv = dihedral_np(dihedral_np(img, c), inverse_code[c])
+            inv_then_fwd = dihedral_np(dihedral_np(img, inverse_code[c]), c)
+            np.testing.assert_array_equal(fwd_then_inv, img)
+            np.testing.assert_array_equal(inv_then_fwd, img)
+
+    def test_jax_matches_numpy(self, img):
+        for c in range(8):
+            got = np.asarray(dihedral(img, np.int32(c)))
+            np.testing.assert_array_equal(got, dihedral_np(img, c))
+
+    def test_batched(self, rng):
+        batch = (rng.random((8, 4, 4, 2)) * 10).astype(np.float32)
+        codes = np.arange(8, dtype=np.int32)
+        got = np.asarray(dihedral_batch(batch, codes))
+        for i in range(8):
+            np.testing.assert_array_equal(got[i], dihedral_np(batch[i], i))
+
+    def test_rectangular_round_trip(self, rng):
+        # Odd rotations transpose H/W; the numpy twin must round-trip
+        # rectangles too (full-raster ensembling sees non-square tiles).
+        x = (rng.random((4, 10, 2)) * 10).astype(np.float32)
+        for c in range(8):
+            back = dihedral_np(dihedral_np(x, c), inverse_code[c])
+            np.testing.assert_array_equal(back, x)
+
+
+class TestSelfEnsemble:
+    def test_equivariant_model_is_fixed_point(self, rng, monkeypatch):
+        """With an exactly D4-equivariant 'network' (nearest-neighbour 2x
+        upsample of the LR raster), averaging over the 8 transforms must
+        reproduce the plain output bit-for-bit — this pins the
+        transform/inverse bookkeeping of _run_ensembled."""
+        from dsen2_tpu.infer import api
+
+        def fake_run(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
+            lr = rasters[-1]
+            return np.kron(lr, np.ones((lr_factor, lr_factor, 1))).astype(np.float32)
+
+        monkeypatch.setattr(api, "_run", fake_run)
+        d10 = (rng.random((12, 20, 4)) * 100).astype(np.float32)
+        d20 = (rng.random((6, 10, 6)) * 100).astype(np.float32)
+        got = api._run_ensembled([d10, d20], 2, None, None, None)
+        np.testing.assert_array_equal(got, fake_run([d10, d20], 2, None, None, None))
+
+    def test_api_ensemble_runs_and_averages(self, rng, tiny_params_2x):
+        """dsen2_20(ensemble=True) returns the mean of the 8 inverse-mapped
+        predictions (checked against a manual loop over the public API)."""
+        from dsen2_tpu.core.config import InferConfig
+        from dsen2_tpu.infer.api import dsen2_20
+        from dsen2_tpu.ops.dihedral import dihedral_np as d_np
+
+        cfg, params = tiny_params_2x
+        icfg = InferConfig(patch_size=32, border=4, batch_size=8)
+        d10 = (rng.random((48, 48, 4)) * 2000).astype(np.float32)
+        d20 = (rng.random((24, 24, 6)) * 2000).astype(np.float32)
+
+        got = dsen2_20(d10, d20, params=params, infer_cfg=icfg, ensemble=True)
+        acc = np.zeros((48, 48, 6), np.float64)
+        for c in range(8):
+            sr = dsen2_20(d_np(d10, c), d_np(d20, c), params=params, infer_cfg=icfg)
+            acc += d_np(sr, inverse_code[c]).astype(np.float64)
+        np.testing.assert_allclose(got, (acc / 8).astype(np.float32), rtol=0, atol=1e-4)
+        assert got.dtype == np.float32 and np.isfinite(got).all()
+
+
+@pytest.fixture(scope="module")
+def tiny_params_2x():
+    from dsen2_tpu.core.config import ModelConfig
+    from dsen2_tpu.models import s2net
+
+    cfg = ModelConfig(in_channels=(4, 6), num_layers=2, feature_size=16)
+    return cfg, s2net.init_params(jax.random.PRNGKey(3), cfg)

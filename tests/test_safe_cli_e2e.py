@@ -163,6 +163,25 @@ class TestS2SupresCLIEndToEnd:
             assert v.shape == (360, 360)
             assert np.isfinite(v).all()
 
+    def test_full_tile_cli_ensemble(self, fake_gdal, tmp_path, monkeypatch):
+        """--ensemble must run the 8-transform average through the same CLI
+        path and produce finite same-shape output."""
+        from dsen2_tpu.cli.s2_supres import main
+
+        monkeypatch.chdir(tmp_path)
+        rc = main(["FAKE_MTD_MSIL1C.xml", "out.tif",
+                   "--roi_x_y", "0,0,359,359", "--ensemble"])
+        assert rc == 0
+        import glob
+
+        files = glob.glob(str(tmp_path / "out.tif*"))
+        assert files, "no output written"
+        z = np.load(files[0], allow_pickle=True)
+        bands = z["bands"].item()
+        assert len([k for k in bands if k.startswith("SR")]) == 6
+        for v in bands.values():
+            assert v.shape == (360, 360) and np.isfinite(v).all()
+
     def test_list_bands(self, fake_gdal, capsys):
         from dsen2_tpu.cli.s2_supres import main
 

@@ -38,6 +38,9 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--model-nr", default="s2_038_", help="7-char run prefix")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="seed for init, shuffling, augmentation and the "
+                    "streaming batch order (one seed domain for the run)")
     ap.add_argument("--augment", action="store_true",
                     help="random flip/rot90 augmentation (the paper's protocol)")
     ap.add_argument("--stage-data", action="store_true",
@@ -81,22 +84,6 @@ def main(argv=None) -> int:
     from dsen2_tpu.train.loop import fit
     from dsen2_tpu.weights import load_keras_weights
 
-    print("Loading the training data...")
-    if args.stream:
-        from dsen2_tpu.data.streaming import StreamingPatchDataset
-
-        train_in = StreamingPatchDataset(args.path, args.run_60, SCALE)
-        train_lb = val_in = val_lb = None
-        print(
-            f"Streaming {train_in.n_train} train / {train_in.n_val} val "
-            f"patches from {len(train_in.dsets)} tiles."
-        )
-    else:
-        train_in, train_lb, val_in, val_lb = open_data_files(
-            args.path, args.run_60, SCALE
-        )
-        print(f"Loaded {train_lb.shape[0]} train / {val_lb.shape[0]} val patches.")
-
     params = None
     resume_kwargs = {}
     model_nr = args.model_nr
@@ -118,16 +105,49 @@ def main(argv=None) -> int:
                 model_nr = base[-20:-13]
                 print(f"Changing the model number to: {model_nr}")
 
+    lr, augment, seed = args.lr, args.augment, args.seed
     tcfg = TrainConfig(
-        lr=args.lr, batch_size=batch, model_nr=model_nr,
+        lr=lr, batch_size=batch, model_nr=model_nr,
         out_dir=os.path.join(args.path, "network_data"),
-        augment=args.augment,
+        augment=augment, seed=seed,
     )
     if full_state_resume:
         from dsen2_tpu.train.loop import restore_fit_state
 
-        resume_kwargs = restore_fit_state(args.resume_file, cfg, tcfg)
+        resume_kwargs = restore_fit_state(
+            args.resume_file, cfg, tcfg, warn_mismatch=False
+        )
         print(f"Restored full state at epoch {resume_kwargs['start_epoch']}")
+        # Continue the checkpointed run's recorded flags, so a bare
+        # `--resume DIR` replays the exact trajectory; an explicit CLI
+        # override wins but is called out as a trajectory change.
+        flags = resume_kwargs.pop("train_flags", None)
+        if flags:
+            overrides = {
+                "lr": args.lr != ap.get_default("lr"),
+                "batch_size": args.batch_size is not None,
+                "augment": args.augment,
+                "seed": args.seed != ap.get_default("seed"),
+            }
+            current = {"lr": lr, "batch_size": batch, "augment": augment, "seed": seed}
+            for k, v in flags.items():
+                if k not in current:
+                    continue
+                if overrides[k] and current[k] != v:
+                    print(
+                        f"WARNING: --{k.replace('_', '-')} {current[k]!r} overrides "
+                        f"the checkpointed {v!r}; the trajectory will diverge."
+                    )
+                else:
+                    current[k] = type(current[k])(v) if current[k] is not None else v
+            lr, batch, augment, seed = (
+                current["lr"], current["batch_size"], current["augment"],
+                current["seed"],
+            )
+            tcfg = TrainConfig(
+                lr=lr, batch_size=batch, model_nr=model_nr,
+                out_dir=tcfg.out_dir, augment=augment, seed=seed,
+            )
     if not args.resume_file:
         # Fresh runs persist the architecture summary (reference dumps
         # model.yaml + plot_model PNG, supres_train.py:189-193).
@@ -138,6 +158,24 @@ def main(argv=None) -> int:
             fh.write(summary(cfg) + "\n")
     if params is not None:
         resume_kwargs["params"] = params
+
+    print("Loading the training data...")
+    if args.stream:
+        from dsen2_tpu.data.streaming import StreamingPatchDataset
+
+        # One seed domain for the run: the streaming batch order draws from
+        # the same seed as init/shuffle/augmentation.
+        train_in = StreamingPatchDataset(args.path, args.run_60, SCALE, seed=tcfg.seed)
+        train_lb = val_in = val_lb = None
+        print(
+            f"Streaming {train_in.n_train} train / {train_in.n_val} val "
+            f"patches from {len(train_in.dsets)} tiles."
+        )
+    else:
+        train_in, train_lb, val_in, val_lb = open_data_files(
+            args.path, args.run_60, SCALE
+        )
+        print(f"Loaded {train_lb.shape[0]} train / {val_lb.shape[0]} val patches.")
     _, hist = fit(cfg, tcfg, train_in, train_lb, val_in, val_lb,
                   epochs=args.epochs, remat=args.deep,
                   stage_data=args.stage_data, **resume_kwargs)

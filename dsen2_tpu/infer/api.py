@@ -203,6 +203,13 @@ def _run(
     the single tile's grid rows shard over the mesh 'data' axis
     (parallel.inference.sr_tile_sharded), one output band per device."""
     if mesh is not None and mesh.devices.size > 1:
+        if device_output:
+            raise ValueError(
+                "device_output=True is not supported with a multi-device "
+                "mesh: sr_tile_sharded assembles the mosaic on host "
+                "(per-shard bands are gathered as numpy). Drop device_output "
+                "or run without a mesh."
+            )
         from dsen2_tpu.parallel.inference import sr_tile_sharded
 
         return sr_tile_sharded(params, rasters, lr_factor, cfg, infer_cfg, mesh)

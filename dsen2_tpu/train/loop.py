@@ -47,13 +47,19 @@ def make_optimizer(train_cfg: TrainConfig):
     )
 
 
-def restore_fit_state(path: str, cfg: ModelConfig, train_cfg: TrainConfig) -> Dict:
+def restore_fit_state(
+    path: str, cfg: ModelConfig, train_cfg: TrainConfig, warn_mismatch: bool = True
+) -> Dict:
     """Restore a full-state checkpoint written by fit() into keyword
     arguments for fit(): {'params', 'opt_state', 'start_epoch',
-    'plateau_state', 'history', 'best_val'}. Resuming with these continues
-    the EXACT trajectory (optimizer moments, plateau scheduler, shuffle
-    order) — the capability the reference's weights-only --resume lacks
-    (training/supres_train.py:181-185)."""
+    'plateau_state', 'history', 'best_val'} (plus 'train_flags' — the
+    checkpointed run's recorded flags, NOT a fit() kwarg: pop it before
+    **-splatting). Resuming with these continues the EXACT trajectory
+    (optimizer moments, plateau scheduler, shuffle order) — the capability
+    the reference's weights-only --resume lacks
+    (training/supres_train.py:181-185). Set warn_mismatch=False when the
+    caller reconciles flags itself (cli/train.py adopts the recorded values
+    unless explicitly overridden)."""
     from dsen2_tpu.weights.checkpoint import restore_train_state
 
     # Two-pass restore: raw first (extra is plain dicts of arrays), then
@@ -72,7 +78,7 @@ def restore_fit_state(path: str, cfg: ModelConfig, train_cfg: TrainConfig) -> Di
     extra = st["extra"]
     plateau_state = {k: v.item() for k, v in extra["plateau"].items()}
     history = {k: list(np.asarray(v, np.float64)) for k, v in extra["history"].items()}
-    return {
+    out = {
         "params": st["params"],
         "opt_state": st["opt_state"],
         "start_epoch": int(st["epoch"]),
@@ -80,6 +86,36 @@ def restore_fit_state(path: str, cfg: ModelConfig, train_cfg: TrainConfig) -> Di
         "history": history,
         "best_val": float(extra["best_val"]),
     }
+    # Validate the resume invocation against the checkpoint's recorded
+    # run-level flags (absent in checkpoints written before they existed).
+    flags = extra.get("train_flags")
+    if flags is not None:
+        recorded = {k: np.asarray(v).item() for k, v in flags.items()}
+        current = {
+            "lr": train_cfg.lr,
+            "batch_size": train_cfg.batch_size,
+            "augment": train_cfg.augment,
+            "seed": train_cfg.seed,
+        }
+        mismatched = {
+            k: (recorded[k], current[k])
+            for k in recorded
+            if k in current and recorded[k] != current[k]
+        }
+        if mismatched and warn_mismatch:
+            import warnings
+
+            detail = ", ".join(
+                f"{k}: checkpoint={a!r} vs invocation={b!r}"
+                for k, (a, b) in sorted(mismatched.items())
+            )
+            warnings.warn(
+                "resume flags differ from the checkpointed run — the "
+                f"trajectory will NOT continue exactly ({detail})",
+                stacklevel=2,
+            )
+        out["train_flags"] = recorded
+    return out
 
 
 def fit(
@@ -101,6 +137,9 @@ def fit(
     plateau_state: Optional[Dict] = None,
     history: Optional[Dict[str, list]] = None,
     best_val: Optional[float] = None,
+    train_flags: Optional[Dict] = None,  # checkpoint metadata; accepted so
+    # restore_fit_state(...) can be **-splatted — reconciliation against the
+    # invocation's flags is the caller's job (restore warns by default).
 ) -> Tuple[TrainState, Dict[str, list]]:
     """Train; returns (final state, history). Checkpoints/logs go to
     train_cfg.out_dir when set (filename convention
@@ -247,6 +286,16 @@ def fit(
             },
             "best_val": np.asarray(ckpt.best if ckpt else np.inf),
             "history": {k: np.asarray(v, np.float64) for k, v in history.items()},
+            # The run's trajectory-defining flags, so resume can detect a
+            # mismatched invocation instead of silently continuing with
+            # different hyperparameters (initial lr lives in opt_state; this
+            # records the run-level settings).
+            "train_flags": {
+                "lr": np.asarray(train_cfg.lr),
+                "batch_size": np.asarray(train_cfg.batch_size),
+                "augment": np.asarray(train_cfg.augment),
+                "seed": np.asarray(train_cfg.seed),
+            },
         }
         path = os.path.join(train_cfg.out_dir, f"{train_cfg.model_nr}{tag}")
         save_train_state(
@@ -285,30 +334,53 @@ def _prefetch(gen, depth: int = 2):
     """Run a batch-producing generator on a background thread with a bounded
     queue so host indexing + device_put of batch k+1 overlaps step k
     (double-buffering for the non-staged path; the staged path has no
-    per-step transfers at all)."""
+    per-step transfers at all).
+
+    The producer's puts poll a stop event so it can never block forever on a
+    full queue when the consumer abandons the epoch early (train_step raise,
+    KeyboardInterrupt) — otherwise the thread plus depth+1 device-resident
+    batches would leak per aborted epoch."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
-    END = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def run():
         try:
             for item in gen:
-                q.put(("ok", item))
+                if not put(("ok", item)):
+                    return
         except BaseException as e:  # noqa: BLE001 — reraised on the consumer
-            q.put(("err", e))
+            put(("err", e))
             return
-        q.put(("end", END))
+        put(("end", None))
 
-    threading.Thread(target=run, daemon=True).start()
-    while True:
-        kind, item = q.get()
-        if kind == "err":
-            raise item
-        if kind == "end":
-            return
-        yield item
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        while True:
+            kind, item = q.get()
+            if kind == "err":
+                raise item
+            if kind == "end":
+                return
+            yield item
+    finally:
+        stop.set()
+        t.join()
+        # Drop buffered batches so their device memory frees promptly.
+        while not q.empty():
+            q.get_nowait()
 
 
 def _epoch_loop(

@@ -4,6 +4,8 @@ The reference binds fixed weight files to each network variant
 (testing/supres.py:56-60). This registry does the same, resolving in order:
 
   1. an explicit path in the DSEN2_TPU_WEIGHTS_DIR environment variable
+     (EXCLUSIVE when set: ./models/ is NOT consulted, so an empty override
+     dir deliberately yields the fresh-init fallback)
   2. ./models/ next to the repo root
   3. a deterministic fresh he_uniform init (clearly warned — the reference
      checkpoints are git-LFS blobs missing from the snapshot, so inference
@@ -48,17 +50,25 @@ def reference_weight_filename(run_60: bool, deep: bool) -> str:
 
 
 def _search_dirs() -> list[str]:
-    dirs = []
     env = os.environ.get("DSEN2_TPU_WEIGHTS_DIR")
     if env:
-        dirs.append(env)
+        # Exclusive override: never silently fall back to the shipped weights,
+        # so experiment drivers pointing at their own dir get exactly what
+        # that dir holds (or the warned fresh init if it holds nothing).
+        return [env]
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    dirs.append(os.path.join(here, "models"))
-    return dirs
+    return [os.path.join(here, "models")]
 
 
 def default_params(cfg: ModelConfig, run_60: bool, deep: bool) -> Dict:
-    key = (run_60, deep, cfg.num_layers, cfg.feature_size, cfg.in_channels)
+    key = (
+        run_60,
+        deep,
+        cfg.num_layers,
+        cfg.feature_size,
+        cfg.in_channels,
+        os.environ.get("DSEN2_TPU_WEIGHTS_DIR"),
+    )
     if key in _cache:
         return _cache[key]
 

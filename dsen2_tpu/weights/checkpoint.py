@@ -26,21 +26,45 @@ def _checkpointer():
 
 def save_train_state(path: str, params: Dict, opt_state: Any, epoch: int,
                      extra: Optional[Dict] = None) -> None:
-    """Save a complete training state to `path` (a directory)."""
+    """Save a complete training state to `path` (a directory).
+
+    Crash-safe against overwrites: orbax with force=True deletes the target
+    before writing, so saving straight onto the previous checkpoint would
+    leave NO valid state if the process dies mid-save. Instead the new state
+    is fully written to a sibling .tmp dir first and swapped in with two
+    renames; a stale .old from a crash inside the swap window is kept for
+    restore_train_state's fallback."""
+    import shutil
+
     state = {
         "params": jax.tree_util.tree_map(np.asarray, params),
         "opt_state": jax.tree_util.tree_map(np.asarray, opt_state),
         "epoch": np.asarray(epoch),
         "extra": jax.tree_util.tree_map(np.asarray, extra or {}),
     }
-    _checkpointer().save(os.path.abspath(path), state, force=True)
+    path = os.path.abspath(path)
+    tmp, old = path + ".tmp", path + ".old"
+    _checkpointer().save(tmp, state, force=True)
+    for p in (old,):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def restore_train_state(path: str, like: Optional[Dict] = None) -> Dict:
     """Restore {'params', 'opt_state', 'epoch', 'extra'} from `path`.
     Pass `like` (a matching state pytree) to restore typed/structured
-    leaves; without it orbax returns the raw stored tree."""
+    leaves; without it orbax returns the raw stored tree. Falls back to
+    `path`.old when `path` is absent (crash inside save_train_state's
+    rename window)."""
+    path = os.path.abspath(path)
+    if not os.path.exists(path) and os.path.exists(path + ".old"):
+        path = path + ".old"
     ckpt = _checkpointer()
     if like is not None:
-        return ckpt.restore(os.path.abspath(path), item=like)
-    return ckpt.restore(os.path.abspath(path))
+        return ckpt.restore(path, item=like)
+    return ckpt.restore(path)

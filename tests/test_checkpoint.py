@@ -75,3 +75,56 @@ class TestOrbaxRoundTrip:
 
         for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(p3)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)
+
+
+class TestCrashSafety:
+    """save_train_state must never destroy the previous checkpoint before the
+    new one is fully written (the periodic save overwrites one dir in place)."""
+
+    def _mini_state(self, key=0):
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        params = s2net.init_params(jax.random.PRNGKey(key), cfg)
+        opt = nadam_keras(1e-3)
+        return params, opt.init(params)
+
+    def test_crash_during_write_keeps_previous(self, tmp_path):
+        params, state = self._mini_state()
+        path = str(tmp_path / "ckpt")
+        save_train_state(path, params, state, epoch=3)
+
+        import dsen2_tpu.weights.checkpoint as ckpt_mod
+
+        class Boom(RuntimeError):
+            pass
+
+        class FailingCkpt:
+            def save(self, *a, **k):
+                raise Boom("disk died mid-save")
+
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(ckpt_mod, "_checkpointer", lambda: FailingCkpt())
+            with pytest.raises(Boom):
+                save_train_state(path, params, state, epoch=7)
+        restored = restore_train_state(path)
+        assert int(restored["epoch"]) == 3  # previous state survived
+
+    def test_second_save_replaces_and_cleans_up(self, tmp_path):
+        import os
+
+        params, state = self._mini_state()
+        path = str(tmp_path / "ckpt")
+        save_train_state(path, params, state, epoch=1)
+        save_train_state(path, params, state, epoch=2)
+        assert int(restore_train_state(path)["epoch"]) == 2
+        assert not os.path.exists(path + ".tmp")
+        assert not os.path.exists(path + ".old")
+
+    def test_restore_falls_back_to_old(self, tmp_path):
+        """A crash between the two swap renames leaves only ckpt.old."""
+        import os
+
+        params, state = self._mini_state()
+        path = str(tmp_path / "ckpt")
+        save_train_state(path, params, state, epoch=5)
+        os.rename(path, path + ".old")
+        assert int(restore_train_state(path)["epoch"]) == 5

@@ -2,6 +2,7 @@
 published algorithm), plateau-scheduler semantics, and a short end-to-end fit
 that must reduce loss and checkpoint, including on the 8-device CPU mesh."""
 
+import time
 import numpy as np
 import pytest
 
@@ -367,3 +368,95 @@ class TestShortBatchOnMesh:
             epochs=2, verbose=False, mesh=make_mesh(data=8),
         )
         assert np.isfinite(hist["loss"]).all()
+
+
+class TestPrefetchAbort:
+    def test_producer_unblocks_when_consumer_stops_early(self):
+        """Abandoning the epoch mid-stream (train_step raise / interrupt)
+        must not leave the producer thread blocked on a full queue."""
+        import threading
+
+        from dsen2_tpu.train.loop import _prefetch
+
+        n_before = threading.active_count()
+        produced = []
+
+        def gen():
+            for i in range(1000):
+                produced.append(i)
+                yield i
+
+        for item in _prefetch(gen(), depth=2):
+            if item == 1:
+                break  # consumer abandons; generator close runs the cleanup
+
+        deadline = time.time() + 5.0
+        while threading.active_count() > n_before and time.time() < deadline:
+            time.sleep(0.01)
+        assert threading.active_count() <= n_before
+        assert len(produced) < 1000  # producer stopped early, not drained
+
+    def test_exception_from_producer_propagates(self):
+        from dsen2_tpu.train.loop import _prefetch
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = _prefetch(gen(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            list(it)
+
+
+class TestTrainFlagsRecorded:
+    def _data(self):
+        rng = np.random.default_rng(5)
+        n = 32
+        x10 = rng.random((n, 16, 16, 4), dtype=np.float32)
+        x20 = rng.random((n, 16, 16, 6), dtype=np.float32)
+        lb = (x20 * 1.5).astype(np.float32)
+        return (x10[:24], x20[:24]), lb[:24], (x10[24:], x20[24:]), lb[24:]
+
+    def test_flags_roundtrip_and_mismatch_warns(self, tmp_path):
+        from dsen2_tpu.train.loop import restore_fit_state
+
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tr_in, tr_lb, va_in, va_lb = self._data()
+        tcfg = TrainConfig(lr=1e-3, batch_size=8, out_dir=str(tmp_path),
+                           model_nr="s2_904_", state_every=2, augment=True, seed=7)
+        fit(cfg, tcfg, tr_in, tr_lb, va_in, va_lb, epochs=2, verbose=False, mesh=None)
+
+        rs = restore_fit_state(str(tmp_path / "s2_904_state"), cfg, tcfg)
+        assert rs["train_flags"] == {
+            "lr": 1e-3, "batch_size": 8, "augment": True, "seed": 7,
+        }
+
+        other = TrainConfig(lr=5e-4, batch_size=8, out_dir=str(tmp_path),
+                            model_nr="s2_904_", augment=False, seed=7)
+        with pytest.warns(UserWarning, match="resume flags differ"):
+            restore_fit_state(str(tmp_path / "s2_904_state"), cfg, other)
+        # warn_mismatch=False suppresses it but still returns the record
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            rs2 = restore_fit_state(
+                str(tmp_path / "s2_904_state"), cfg, other, warn_mismatch=False
+            )
+        assert rs2["train_flags"]["augment"] is True
+
+    def test_fit_accepts_splatted_restore(self, tmp_path):
+        """fit(**restore_fit_state(...)) must keep working with the
+        train_flags key present."""
+        from dsen2_tpu.train.loop import restore_fit_state
+
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tr_in, tr_lb, va_in, va_lb = self._data()
+        tcfg = TrainConfig(lr=1e-3, batch_size=8, out_dir=str(tmp_path),
+                           model_nr="s2_905_", state_every=1)
+        fit(cfg, tcfg, tr_in, tr_lb, va_in, va_lb, epochs=1, verbose=False, mesh=None)
+        rs = restore_fit_state(str(tmp_path / "s2_905_state"), cfg, tcfg)
+        _, hist = fit(cfg, tcfg, tr_in, tr_lb, va_in, va_lb,
+                      epochs=2, verbose=False, mesh=None, **rs)
+        assert len(hist["loss"]) == 2

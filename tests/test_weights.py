@@ -94,3 +94,46 @@ class TestNpzRoundTrip:
         for top in params:
             for k in params[top]:
                 np.testing.assert_array_equal(params[top][k], loaded[top][k])
+
+
+class TestEnvDirExclusive:
+    def test_empty_env_dir_gives_fresh_init(self, tmp_path, monkeypatch):
+        """DSEN2_TPU_WEIGHTS_DIR is an EXCLUSIVE override: an empty dir must
+        NOT fall back to the shipped ./models/ weights (experiment drivers
+        rely on 'empty dir -> untrained init')."""
+        cfg = dsen2_2x(False)
+        monkeypatch.setenv("DSEN2_TPU_WEIGHTS_DIR", str(tmp_path))
+        with pytest.warns(UserWarning, match="UNTRAINED"):
+            got = default_params(cfg, run_60=False, deep=False)
+        want = s2net.init_params(jax.random.PRNGKey(0), cfg)
+        np.testing.assert_array_equal(
+            np.asarray(got["head"]["w"]), np.asarray(want["head"]["w"])
+        )
+
+    def test_cache_keys_on_env_dir(self, tmp_path, monkeypatch):
+        """Evaluating several weight dirs in one process must not serve the
+        first dir's weights for all of them (the generalization-study bug)."""
+        cfg = dsen2_2x(False)
+        fname = reference_weight_filename(False, False).replace(".hdf5", ".npz")
+        dirs, saved = [], []
+        for key in (11, 22):
+            d = tmp_path / f"w{key}"
+            d.mkdir()
+            params = jax.tree_util.tree_map(
+                np.asarray, s2net.init_params(jax.random.PRNGKey(key), cfg)
+            )
+            save_params_npz(str(d / fname), params)
+            dirs.append(d)
+            saved.append(params)
+
+        got = []
+        for d in dirs:
+            monkeypatch.setenv("DSEN2_TPU_WEIGHTS_DIR", str(d))
+            got.append(default_params(cfg, run_60=False, deep=False))
+        for g, want in zip(got, saved):
+            np.testing.assert_array_equal(
+                np.asarray(g["head"]["w"]), np.asarray(want["head"]["w"])
+            )
+        assert not np.array_equal(
+            np.asarray(got[0]["head"]["w"]), np.asarray(got[1]["head"]["w"])
+        )

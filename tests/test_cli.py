@@ -145,6 +145,43 @@ class TestTrainResumeCLI:
         for k in wa.files:
             np.testing.assert_allclose(wb[k], wa[k], rtol=1e-5, atol=1e-7)
 
+    def test_cli_resume_adopts_checkpointed_flags(self, tmp_path):
+        """A bare `--resume DIR` must continue the checkpointed run's flags
+        (augment/seed/lr/batch) rather than silently restart with defaults:
+        resumed-without-flags == uninterrupted-with-flags."""
+        a, b = tmp_path / "a", tmp_path / "b"
+        for root in (a, b):
+            self._make_train_data(root)
+        flags = ["--batch-size", "8", "--model-nr", "s2_556_",
+                 "--augment", "--seed", "3", "--lr", "5e-4"]
+        rc = train_cli.main(["--path", str(a) + "/", "--epochs", "4"] + flags)
+        assert rc == 0
+        rc = train_cli.main(["--path", str(b) + "/", "--epochs", "2"] + flags)
+        assert rc == 0
+        state_dir = b / "network_data" / "s2_556_state"
+        # Resume names ONLY the state dir: everything else must be adopted.
+        rc = train_cli.main(
+            ["--path", str(b) + "/", "--epochs", "4", "--resume", str(state_dir)]
+        )
+        assert rc == 0
+        wa = np.load(a / "network_data" / "s2_556_lr_5e-04.npz")
+        wb = np.load(b / "network_data" / "s2_556_lr_5e-04.npz")
+        for k in wa.files:
+            np.testing.assert_allclose(wb[k], wa[k], rtol=1e-5, atol=1e-7)
+
+    def test_cli_stream_end_to_end(self, tmp_path):
+        """--stream drives fit via StreamingPatchDataset through main(),
+        sharing the run seed, and produces checkpoints."""
+        self._make_train_data(tmp_path)
+        rc = train_cli.main(
+            ["--path", str(tmp_path) + "/", "--epochs", "2", "--stream",
+             "--batch-size", "8", "--model-nr", "s2_557_", "--seed", "5"]
+        )
+        assert rc == 0
+        out = tmp_path / "network_data"
+        assert (out / "s2_557_lr_1e-04.npz").exists()
+        assert (out / "s2_557_state").is_dir()
+
 
 class TestDemoCLI:
     def test_gt_scene_branch(self, tmp_path):

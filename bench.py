@@ -45,9 +45,9 @@ def main() -> None:
 
     import jax
 
-    # Persistent compilation cache: the full-tile programs take minutes to
-    # compile cold; cached reruns skip straight to execution.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dsen2_jax_cache")
+    # Persistent compilation cache dir comes from the dsen2_tpu import hook
+    # (per-user, DSEN2_TPU_COMPILE_CACHE-overridable); full-tile programs
+    # take minutes to compile cold, so cache even medium compiles.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from dsen2_tpu.core.config import InferConfig, dsen2_2x, dsen2_6x

@@ -11,6 +11,33 @@ parallelism over a device mesh) rather than translated.
 
 __version__ = "0.1.0"
 
+
+def _enable_persistent_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a stable directory so
+    library/CLI processes reuse each other's compiled pipelines (first
+    compile of a tile geometry is minutes on TPU; warm processes skip it).
+    Opt out with DSEN2_TPU_COMPILE_CACHE="" ; an explicit JAX setting
+    (env var or prior jax.config.update) is respected. The default path is
+    per-user (uid-suffixed under the temp dir): a fixed world-shared /tmp
+    path would collide between users and deserialize another user's
+    cached executables."""
+    import os
+    import tempfile
+
+    default = os.path.join(
+        tempfile.gettempdir(), f"dsen2_jax_cache_{os.getuid()}"
+    )
+    cache_dir = os.environ.get("DSEN2_TPU_COMPILE_CACHE", default)
+    if not cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+
+
+_enable_persistent_compile_cache()
+
 from dsen2_tpu.core import (
     SCALE,
     InferConfig,

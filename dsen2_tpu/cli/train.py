@@ -34,14 +34,21 @@ def main(argv=None) -> int:
     ap.add_argument("--run_60", action="store_true", help="train the 6x (60m->10m) network")
     ap.add_argument("--deep", action="store_true", help="VDSen2 (32 resblocks x 256)")
     ap.add_argument("--path", default="./data/", help="data root")
+    # lr/batch-size/seed/augment default to None sentinels so an EXPLICIT
+    # flag is distinguishable from an omitted one even when it equals the
+    # default — full-state resume adopts the checkpointed value only for
+    # omitted flags, and an explicit flag (including --no-augment or a value
+    # equal to the fresh-run default) wins with a divergence warning.
     ap.add_argument("--epochs", type=int, default=None)
-    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lr", type=float, default=None, help="default 1e-4")
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--model-nr", default="s2_038_", help="7-char run prefix")
-    ap.add_argument("--seed", type=int, default=0,
+    ap.add_argument("--seed", type=int, default=None,
                     help="seed for init, shuffling, augmentation and the "
-                    "streaming batch order (one seed domain for the run)")
-    ap.add_argument("--augment", action="store_true",
+                    "streaming batch order (one seed domain for the run; "
+                    "default 0)")
+    ap.add_argument("--augment", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="random flip/rot90 augmentation (the paper's protocol)")
     ap.add_argument("--stage-data", action="store_true",
                     help="stage the dataset into HBM and run each epoch as "
@@ -65,7 +72,8 @@ def main(argv=None) -> int:
         shapes = [(n, 32, 32, c) for c in cfg.in_channels]
         inputs = tuple(rng.random(s, dtype=np.float32) for s in shapes)
         labels = rng.random((n, 32, 32, cfg.out_channels), dtype=np.float32)
-        tcfg = TrainConfig(lr=args.lr, batch_size=16, model_nr=args.model_nr,
+        tcfg = TrainConfig(lr=args.lr if args.lr is not None else 1e-4,
+                           batch_size=16, model_nr=args.model_nr,
                            out_dir=os.path.join(args.path, "network_data"))
         from dsen2_tpu.train.loop import fit
 
@@ -105,7 +113,9 @@ def main(argv=None) -> int:
                 model_nr = base[-20:-13]
                 print(f"Changing the model number to: {model_nr}")
 
-    lr, augment, seed = args.lr, args.augment, args.seed
+    lr = 1e-4 if args.lr is None else args.lr
+    augment = bool(args.augment)
+    seed = 0 if args.seed is None else args.seed
     tcfg = TrainConfig(
         lr=lr, batch_size=batch, model_nr=model_nr,
         out_dir=os.path.join(args.path, "network_data"),
@@ -124,10 +134,10 @@ def main(argv=None) -> int:
         flags = resume_kwargs.pop("train_flags", None)
         if flags:
             overrides = {
-                "lr": args.lr != ap.get_default("lr"),
+                "lr": args.lr is not None,
                 "batch_size": args.batch_size is not None,
-                "augment": args.augment,
-                "seed": args.seed != ap.get_default("seed"),
+                "augment": args.augment is not None,
+                "seed": args.seed is not None,
             }
             current = {"lr": lr, "batch_size": batch, "augment": augment, "seed": seed}
             for k, v in flags.items():

@@ -36,7 +36,6 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dsen2_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from dsen2_tpu.core.config import InferConfig, dsen2_2x, dsen2_6x

@@ -50,8 +50,6 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dsen2_jax_cache")
-
     from dsen2_tpu.core.bands import SCALE
     from dsen2_tpu.core.config import TrainConfig, dsen2_2x, dsen2_6x
     from dsen2_tpu.data.mat import read_scene

@@ -169,6 +169,25 @@ class TestTrainResumeCLI:
         for k in wa.files:
             np.testing.assert_allclose(wb[k], wa[k], rtol=1e-5, atol=1e-7)
 
+    def test_cli_resume_explicit_flag_wins(self, tmp_path, capsys):
+        """An explicit flag on resume wins over the checkpointed value and
+        prints a divergence warning — even when it equals the fresh-run
+        default (--seed 0) or is the negative boolean (--no-augment)."""
+        self._make_train_data(tmp_path)
+        rc = train_cli.main(
+            ["--path", str(tmp_path) + "/", "--epochs", "2", "--batch-size",
+             "8", "--model-nr", "s2_558_", "--seed", "3", "--augment"]
+        )
+        assert rc == 0
+        state_dir = tmp_path / "network_data" / "s2_558_state"
+        rc = train_cli.main(
+            ["--path", str(tmp_path) + "/", "--epochs", "3",
+             "--resume", str(state_dir), "--seed", "0", "--no-augment"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert out.count("overrides the checkpointed") == 2  # seed + augment
+
     def test_cli_stream_end_to_end(self, tmp_path):
         """--stream drives fit via StreamingPatchDataset through main(),
         sharing the run seed, and produces checkpoints."""

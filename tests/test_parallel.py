@@ -238,3 +238,16 @@ class TestSingleTileSharded:
         want = _run([d10, d20], 2, cfg, params, icfg)
         got = _run([d10, d20], 2, cfg, params, icfg, mesh=make_mesh(data=8))
         np.testing.assert_array_equal(got, want)
+
+    def test_mesh_with_device_output_raises(self, rng):
+        """device_output=True promises a device-resident mosaic; the sharded
+        path assembles on host, so the combination must be an explicit error
+        rather than a silently-broken contract."""
+        from dsen2_tpu.infer.api import _run
+
+        cfg, params, icfg = self._cfg()
+        d10 = (rng.random((64, 64, 4)) * 5000).astype(np.float32)
+        d20 = (rng.random((32, 32, 6)) * 5000).astype(np.float32)
+        with pytest.raises(ValueError, match="device_output"):
+            _run([d10, d20], 2, cfg, params, icfg,
+                 mesh=make_mesh(data=8), device_output=True)

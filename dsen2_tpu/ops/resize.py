@@ -9,6 +9,7 @@ Capability map to the reference:
   - interp_patches  -> upsample_patches (utils/patches.py:11-16)
   - imresize        -> matlab_imresize (utils/imresize.py:80-112)
   - downPixelAggr   -> wald_downsample (utils/patches.py:353-371)
+  - convertDouble2Byte -> convert_double_to_byte (utils/imresize.py:114-117)
 """
 
 from __future__ import annotations
@@ -26,6 +27,7 @@ __all__ = [
     "upsample_patches",
     "matlab_imresize",
     "wald_downsample",
+    "convert_double_to_byte",
 ]
 
 # Parity-critical resampling runs in full f32 on the MXU.
@@ -82,3 +84,10 @@ def wald_downsample(img: jax.Array, factor: int) -> jax.Array:
     return apply_separable(
         img, rw.wald_downsample_matrix(h, factor), rw.wald_downsample_matrix(w, factor)
     )
+
+
+def convert_double_to_byte(img: np.ndarray) -> np.ndarray:
+    """[0,1] float image -> rounded uint8 (reference: utils/imresize.py:
+    114-117 convertDouble2Byte; host helper — byte conversion is display/IO
+    work, not device math)."""
+    return np.around(255.0 * np.clip(img, 0.0, 1.0)).astype(np.uint8)

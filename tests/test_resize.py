@@ -153,3 +153,24 @@ class TestScalarScaleAntialias:
         np.testing.assert_allclose(
             rw.matlab_cubic_matrix(64, 32, 0.5), rw.matlab_cubic_matrix(64, 32), atol=0
         )
+
+
+class TestConvertDoubleToByte:
+    def test_matches_reference_implementation(self):
+        """Direct oracle: the reference's convertDouble2Byte is importable
+        numpy (utils/imresize.py:114-117)."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_imresize", "/root/reference/utils/imresize.py"
+        )
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+
+        from dsen2_tpu.ops.resize import convert_double_to_byte
+
+        rng = np.random.default_rng(0)
+        img = rng.normal(0.5, 0.6, (17, 9, 3))  # includes <0 and >1 values
+        np.testing.assert_array_equal(
+            convert_double_to_byte(img), ref.convertDouble2Byte(img)
+        )

@@ -50,6 +50,14 @@ def main(argv=None) -> int:
     ap.add_argument("--augment", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="random flip/rot90 augmentation (the paper's protocol)")
+    ap.add_argument("--precision", default="high",
+                    choices=["highest", "high", "default"],
+                    help="TPU matmul/conv precision: highest=true f32, "
+                    "high=bf16x3 (default; ~3e-5 rel err), default=single "
+                    "bf16 pass (turbo)")
+    ap.add_argument("--state-every", type=int, default=25,
+                    help="full-state (resumable) checkpoint cadence in "
+                    "epochs; 0 disables the periodic save")
     ap.add_argument("--stage-data", action="store_true",
                     help="stage the dataset into HBM and run each epoch as "
                     "one scanned device call (fast input pipeline)")
@@ -119,7 +127,7 @@ def main(argv=None) -> int:
     tcfg = TrainConfig(
         lr=lr, batch_size=batch, model_nr=model_nr,
         out_dir=os.path.join(args.path, "network_data"),
-        augment=augment, seed=seed,
+        augment=augment, seed=seed, state_every=args.state_every,
     )
     if full_state_resume:
         from dsen2_tpu.train.loop import restore_fit_state
@@ -157,6 +165,7 @@ def main(argv=None) -> int:
             tcfg = TrainConfig(
                 lr=lr, batch_size=batch, model_nr=model_nr,
                 out_dir=tcfg.out_dir, augment=augment, seed=seed,
+                state_every=args.state_every,
             )
     if not args.resume_file:
         # Fresh runs persist the architecture summary (reference dumps
@@ -188,6 +197,7 @@ def main(argv=None) -> int:
         print(f"Loaded {train_lb.shape[0]} train / {val_lb.shape[0]} val patches.")
     _, hist = fit(cfg, tcfg, train_in, train_lb, val_in, val_lb,
                   epochs=args.epochs, remat=args.deep,
+                  precision=args.precision,
                   stage_data=args.stage_data, **resume_kwargs)
     return 0
 

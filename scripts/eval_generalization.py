@@ -14,9 +14,11 @@ held-out tiles (S2_tiles_training.txt / S2_tiles_testing.txt,
 /root/reference/README.md:37-44) — this is the 2-scene analogue feasible
 in this snapshot (the training-tile blobs are missing).
 
-Each training run shells out to scripts/train_demo_weights.py with an
+Each training run drives scripts/train_demo_weights.py IN-PROCESS with an
 isolated weights dir (empty -> random init, improvement guard open), so
-the installed framework weights are never touched.
+the installed framework weights are never touched. In-process is safe —
+the weights registry resolves DSEN2_TPU_WEIGHTS_DIR exclusively and keys
+its cache on it — and avoids this harness's per-process TPU lease stalls.
 
 Usage:
   python scripts/eval_generalization.py [--epochs N] [--n-crops N]
@@ -28,7 +30,6 @@ from __future__ import annotations
 import argparse
 import glob
 import os
-import subprocess
 import sys
 import tempfile
 
@@ -41,16 +42,33 @@ sys.path.insert(0, REPO)
 def train_scratch(scene_path: str, weights_dir: str, augment: bool,
                   epochs: int, n_crops: int) -> None:
     """Train DSen2 2x from scratch on ONE scene into weights_dir."""
+    import runpy
+
     scene_dir = tempfile.mkdtemp(prefix="dsen2_gen_scene_")
     os.symlink(scene_path, os.path.join(scene_dir, os.path.basename(scene_path)))
-    env = dict(os.environ, DSEN2_TPU_WEIGHTS_DIR=weights_dir)
-    cmd = [sys.executable, os.path.join(REPO, "scripts", "train_demo_weights.py"),
-           "--scenes", scene_dir, "--out", weights_dir,
-           "--epochs", str(epochs), "--n-crops", str(n_crops)]
+    argv = ["train_demo_weights.py",
+            "--scenes", scene_dir, "--out", weights_dir,
+            "--epochs", str(epochs), "--n-crops", str(n_crops)]
     if augment:
-        cmd.append("--augment")
-    print("+", " ".join(cmd))
-    subprocess.run(cmd, check=True, env=env, cwd=REPO)
+        argv.append("--augment")
+    print("+ (in-process)", " ".join(argv[1:]))
+    old_argv, old_env = sys.argv, os.environ.get("DSEN2_TPU_WEIGHTS_DIR")
+    os.environ["DSEN2_TPU_WEIGHTS_DIR"] = weights_dir
+    sys.argv = argv
+    try:
+        runpy.run_path(
+            os.path.join(REPO, "scripts", "train_demo_weights.py"),
+            run_name="__main__",
+        )
+    except SystemExit as e:
+        if e.code not in (0, None):
+            raise RuntimeError(f"training failed (rc={e.code})")
+    finally:
+        sys.argv = old_argv
+        if old_env is None:
+            os.environ.pop("DSEN2_TPU_WEIGHTS_DIR", None)
+        else:
+            os.environ["DSEN2_TPU_WEIGHTS_DIR"] = old_env
 
 
 def eval_heldout(scene_path: str, weights_dir: str) -> dict:

@@ -24,9 +24,8 @@ def _enable_persistent_compile_cache() -> None:
     import os
     import tempfile
 
-    default = os.path.join(
-        tempfile.gettempdir(), f"dsen2_jax_cache_{os.getuid()}"
-    )
+    uid = os.getuid() if hasattr(os, "getuid") else "u"  # no getuid on Windows
+    default = os.path.join(tempfile.gettempdir(), f"dsen2_jax_cache_{uid}")
     cache_dir = os.environ.get("DSEN2_TPU_COMPILE_CACHE", default)
     if not cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return

@@ -156,6 +156,11 @@ def main(argv=None) -> int:
                         f"WARNING: --{k.replace('_', '-')} {current[k]!r} overrides "
                         f"the checkpointed {v!r}; the trajectory will diverge."
                     )
+                    if k == "lr":
+                        # The restored opt_state/plateau carry the
+                        # checkpointed lr; the override must actually
+                        # drive the updates, not just the filenames.
+                        resume_kwargs["force_lr"] = current[k]
                 else:
                     current[k] = type(current[k])(v) if current[k] is not None else v
             lr, batch, augment, seed = (
@@ -167,6 +172,10 @@ def main(argv=None) -> int:
                 out_dir=tcfg.out_dir, augment=augment, seed=seed,
                 state_every=args.state_every,
             )
+        elif args.lr is not None:
+            # Checkpoint predates recorded flags: an explicit --lr must
+            # still beat the restored opt_state/plateau lr.
+            resume_kwargs["force_lr"] = lr
     if not args.resume_file:
         # Fresh runs persist the architecture summary (reference dumps
         # model.yaml + plot_model PNG, supres_train.py:189-193).

@@ -177,11 +177,13 @@ def sr_tile_sharded(
     shard_starts, shard_pos = [], []
     win_rows: List[List[Tuple[int, int]]] = [[] for _ in grids]  # per input per shard
     for s, (r0, r1) in enumerate(bands):
-        if r0 == r1:  # empty shard: duplicate band 0's work, discard output
-            r0, r1 = bands[0]
-            y0 = 0
-        else:
-            y0 = r0 * interior
+        if r0 == r1:
+            # Empty shard: duplicate a NON-empty band's work and discard the
+            # output. bands[0] itself can be empty (the edge-flush rebalance
+            # can zero a leading band, e.g. ny==2 on >=2 devices), so pick
+            # the first band that actually has rows.
+            r0, r1 = next(b for b in bands if b[0] != b[1])
+        y0 = r0 * interior
         last_band = r1 == ny
         band_h = (h10 - y0) if last_band else (r1 - r0) * interior
         band_meta.append((y0, band_h if bands[s][0] != bands[s][1] else 0))
@@ -201,7 +203,8 @@ def sr_tile_sharded(
         shard_starts.append(np.stack(per_input, axis=1))  # [kmax*nx, n_in, 2]
 
     band_h_max = max(h for _, h in band_meta if h) if any(h for _, h in band_meta) else interior
-    # positions of empty shards replicate band 0 and stay within band_h_max
+    # empty shards replicate a non-empty band, so their positions stay
+    # within band_h_max
     n_patches = kmax * nx
     batch = min(infer_cfg.batch_size, n_patches)
 

@@ -137,6 +137,7 @@ def fit(
     plateau_state: Optional[Dict] = None,
     history: Optional[Dict[str, list]] = None,
     best_val: Optional[float] = None,
+    force_lr: Optional[float] = None,
     train_flags: Optional[Dict] = None,  # checkpoint metadata; accepted so
     # restore_fit_state(...) can be **-splatted — reconciliation against the
     # invocation's flags is the caller's job (restore warns by default).
@@ -235,6 +236,16 @@ def fit(
     if plateau_state:
         for k, v in plateau_state.items():
             setattr(plateau, k, type(getattr(plateau, k))(v))
+    if force_lr is not None:
+        # Explicit resume-time lr override: the restored optimizer state and
+        # plateau scheduler both carry the checkpointed lr and would
+        # otherwise silently win over train_cfg.lr (the training itself
+        # reads opt_state.hyperparams, not train_cfg).
+        plateau.lr = float(force_lr)
+        if hasattr(opt_state, "hyperparams"):
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                force_lr, jnp.float32
+            )
     history = history if history is not None else {
         "loss": [], "val_loss": [], "mse": [], "lr": []
     }

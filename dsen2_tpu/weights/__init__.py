@@ -60,29 +60,45 @@ def _search_dirs() -> list[str]:
     return [os.path.join(here, "models")]
 
 
+def _resolve_weight_file(fname: str) -> Optional[str]:
+    for d in _search_dirs():
+        path = os.path.join(d, fname)
+        if os.path.exists(path):
+            return path
+        npz_path = path.replace(".hdf5", ".npz")
+        if os.path.exists(npz_path):
+            return npz_path
+    return None
+
+
 def default_params(cfg: ModelConfig, run_60: bool, deep: bool) -> Dict:
+    fname = reference_weight_filename(run_60, deep)
+    found = _resolve_weight_file(fname)
+    # Key the cache on the resolved file's identity (path + mtime + size),
+    # not just the search dir: a dir that was empty at first call and gains
+    # weights later (or gets retrained in-process) must not serve the stale
+    # entry.
+    stamp = None
+    if found is not None:
+        st = os.stat(found)
+        stamp = (found, st.st_mtime_ns, st.st_size)
     key = (
         run_60,
         deep,
         cfg.num_layers,
         cfg.feature_size,
         cfg.in_channels,
-        os.environ.get("DSEN2_TPU_WEIGHTS_DIR"),
+        stamp,
     )
     if key in _cache:
         return _cache[key]
 
-    fname = reference_weight_filename(run_60, deep)
     params = None
-    for d in _search_dirs():
-        path = os.path.join(d, fname)
-        npz_path = path.replace(".hdf5", ".npz")
-        if os.path.exists(path):
-            params = load_keras_weights(path, cfg)
-            break
-        if os.path.exists(npz_path):
-            params = load_params_npz(npz_path)
-            break
+    if found is not None:
+        if found.endswith(".npz"):
+            params = load_params_npz(found)
+        else:
+            params = load_keras_weights(found, cfg)
     if params is None:
         warnings.warn(
             f"pretrained weights {fname} not found (reference LFS blobs are "

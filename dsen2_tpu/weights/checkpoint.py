@@ -45,10 +45,11 @@ def save_train_state(path: str, params: Dict, opt_state: Any, epoch: int,
     path = os.path.abspath(path)
     tmp, old = path + ".tmp", path + ".old"
     _checkpointer().save(tmp, state, force=True)
-    for p in (old,):
-        if os.path.exists(p):
-            shutil.rmtree(p)
+    # A stale .old may be the ONLY valid state (crash after the previous
+    # save's path->old rename): never delete it while `path` is absent.
     if os.path.exists(path):
+        if os.path.exists(old):
+            shutil.rmtree(old)
         os.rename(path, old)
     os.rename(tmp, path)
     if os.path.exists(old):

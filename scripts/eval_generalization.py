@@ -18,7 +18,9 @@ Each training run drives scripts/train_demo_weights.py IN-PROCESS with an
 isolated weights dir (empty -> random init, improvement guard open), so
 the installed framework weights are never touched. In-process is safe —
 the weights registry resolves DSEN2_TPU_WEIGHTS_DIR exclusively and keys
-its cache on it — and avoids this harness's per-process TPU lease stalls.
+its cache on the resolved file's identity (path+mtime+size), so the
+eval sees the weights training just installed, not the pre-training
+cache entry — and avoids this harness's per-process TPU lease stalls.
 
 Usage:
   python scripts/eval_generalization.py [--epochs N] [--n-crops N]

@@ -188,6 +188,29 @@ class TestTrainResumeCLI:
         out = capsys.readouterr().out
         assert out.count("overrides the checkpointed") == 2  # seed + augment
 
+    def test_cli_resume_explicit_lr_drives_updates(self, tmp_path, capsys):
+        """An explicit --lr on a full-state resume must actually train at
+        that lr (the restored opt_state/plateau carry the checkpointed lr
+        and would otherwise silently win while checkpoints get written
+        under the new-lr filenames)."""
+        self._make_train_data(tmp_path)
+        rc = train_cli.main(
+            ["--path", str(tmp_path) + "/", "--epochs", "2", "--batch-size",
+             "8", "--model-nr", "s2_559_"]
+        )
+        assert rc == 0
+        state_dir = tmp_path / "network_data" / "s2_559_state"
+        rc = train_cli.main(
+            ["--path", str(tmp_path) + "/", "--epochs", "3",
+             "--resume", str(state_dir), "--lr", "5e-2"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "overrides the checkpointed" in out
+        # the resumed epoch's log line must show the override, not 1e-4
+        assert "lr 5.0e-02" in out
+        assert (tmp_path / "network_data" / "s2_559_lr_5e-02.npz").exists()
+
     def test_cli_stream_end_to_end(self, tmp_path):
         """--stream drives fit via StreamingPatchDataset through main(),
         sharing the run seed, and produces checkpoints."""

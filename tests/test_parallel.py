@@ -229,6 +229,24 @@ class TestSingleTileSharded:
         got = sr_tile_sharded(params, [d10, d20], 2, cfg, icfg, mesh)
         np.testing.assert_array_equal(got, want)
 
+    def test_empty_leading_band(self, rng):
+        """ny==2 with a flush row: the edge-flush rebalance empties band 0
+        ([(0,0),(0,2),...]) — idle shards must duplicate the first NON-empty
+        band (a (0,0) fallback would negative-index the row schedule and
+        inflate every shard's input window to the full raster)."""
+        from dsen2_tpu.infer.api import _run
+        from dsen2_tpu.parallel.inference import plan_shard_bands, sr_tile_sharded
+
+        cfg, params, icfg = self._cfg()
+        bands = plan_shard_bands(2, 24, 40, 8)  # interior 24, h10 40
+        assert bands[0] == (0, 0) and bands[1] == (0, 2)
+        d10 = (rng.random((40, 96, 4)) * 5000).astype(np.float32)
+        d20 = (rng.random((20, 48, 6)) * 5000).astype(np.float32)
+        want = _run([d10, d20], 2, cfg, params, icfg)
+        mesh = make_mesh(data=8)
+        got = sr_tile_sharded(params, [d10, d20], 2, cfg, icfg, mesh)
+        np.testing.assert_array_equal(got, want)
+
     def test_api_mesh_kwarg(self, rng):
         from dsen2_tpu.infer.api import _run
 

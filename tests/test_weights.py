@@ -137,3 +137,27 @@ class TestEnvDirExclusive:
         assert not np.array_equal(
             np.asarray(got[0]["head"]["w"]), np.asarray(got[1]["head"]["w"])
         )
+
+    def test_cache_keys_on_file_content(self, tmp_path, monkeypatch):
+        """A dir that was empty at first call and gains weights later (e.g.
+        an in-process training installing its result) must not keep serving
+        the cached fresh init — the cache keys on the resolved file's
+        identity, not the directory path."""
+        cfg = dsen2_2x(False)
+        monkeypatch.setenv("DSEN2_TPU_WEIGHTS_DIR", str(tmp_path))
+        with pytest.warns(UserWarning, match="UNTRAINED"):
+            first = default_params(cfg, run_60=False, deep=False)
+
+        fname = reference_weight_filename(False, False).replace(".hdf5", ".npz")
+        trained = jax.tree_util.tree_map(
+            np.asarray, s2net.init_params(jax.random.PRNGKey(7), cfg)
+        )
+        save_params_npz(str(tmp_path / fname), trained)
+
+        got = default_params(cfg, run_60=False, deep=False)
+        np.testing.assert_array_equal(
+            np.asarray(got["head"]["w"]), np.asarray(trained["head"]["w"])
+        )
+        assert not np.array_equal(
+            np.asarray(got["head"]["w"]), np.asarray(first["head"]["w"])
+        )

@@ -161,6 +161,11 @@ def main(argv=None) -> int:
                         # checkpointed lr; the override must actually
                         # drive the updates, not just the filenames.
                         resume_kwargs["force_lr"] = current[k]
+                        # New lr -> new `{model_nr}lr_{lr}` checkpoint
+                        # filename: the restored best_val belongs to the
+                        # OLD file, and seeding it would keep the new
+                        # file from ever being written by a short run.
+                        resume_kwargs.pop("best_val", None)
                 else:
                     current[k] = type(current[k])(v) if current[k] is not None else v
             lr, batch, augment, seed = (
@@ -174,8 +179,12 @@ def main(argv=None) -> int:
             )
         elif args.lr is not None:
             # Checkpoint predates recorded flags: an explicit --lr must
-            # still beat the restored opt_state/plateau lr.
+            # still beat the restored opt_state/plateau lr. The lr may
+            # differ from the checkpointed one (unknowable here), so start
+            # the best-checkpoint gate fresh rather than risk a renamed
+            # checkpoint file that never gets written.
             resume_kwargs["force_lr"] = lr
+            resume_kwargs.pop("best_val", None)
     if not args.resume_file:
         # Fresh runs persist the architecture summary (reference dumps
         # model.yaml + plot_model PNG, supres_train.py:189-193).

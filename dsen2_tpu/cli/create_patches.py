@@ -11,6 +11,14 @@ Usage:
   python -m dsen2_tpu.cli.create_patches DATA_FILE [--roi_x_y ...]
       [--test_data] [--true_data] [--write_images] [--run_60]
       [--save_prefix ../data/] [--seed N]
+  python -m dsen2_tpu.cli.create_patches --make-val-index
+      [--save_prefix ../data/] [--run_60] [--val-fraction 0.1] [--seed N]
+
+The second form is the training/create_random.py (:10-22) equivalent: it
+scans the already-built data/train[60]/*SAFE archives, counts the patch
+slots, and persists the ~10%-True boolean validation mask as
+data/train[60]/val_index.npy (the loader requires it; regenerate whenever
+tiles are added/removed or patch counts change).
 """
 
 from __future__ import annotations
@@ -77,13 +85,43 @@ def _save_band_png(path: str, data: np.ndarray) -> None:
     imageio.imsave(path, convert_double_to_byte_np(img))
 
 
+def _make_val_index_cli(args) -> int:
+    """Scan data/train[60]/*SAFE archives and persist the validation mask
+    (reference: training/create_random.py:10-22, which hardcodes 45*8000
+    slots; here the count is read from the archives themselves so partial
+    tile sets and non-default crop counts split correctly)."""
+    import glob
+
+    from dsen2_tpu.data.patches_dataset import make_val_index
+
+    train_path = os.path.join(args.save_prefix, "train60" if args.run_60 else "train")
+    dsets = sorted(glob.glob(os.path.join(train_path, "*SAFE")))
+    if not dsets:
+        print(f"no *SAFE tile dirs under {train_path}; build training "
+              "patches first", file=sys.stderr)
+        return 1
+    total = 0
+    for d in dsets:
+        arr = np.load(os.path.join(d, "data10.npy"), mmap_mode="r")
+        total += arr.shape[0]
+        print(f"{os.path.basename(d)}: {arr.shape[0]} patch slots")
+    seed = 0 if args.seed is None else args.seed
+    mask = make_val_index(total, args.val_fraction, seed=seed)
+    out = os.path.join(train_path, "val_index.npy")
+    np.save(out, mask)
+    print(f"wrote {out}: {int(mask.sum())}/{total} validation slots "
+          f"({args.val_fraction:.0%}, seed {seed})")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         description="Create DSen2 training/test patches from Sentinel-2 data "
         "(Wald protocol).",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter,
     )
-    ap.add_argument("data_file", help="SAFE dir / MTD_MSIL1C.xml / .mat / .npz")
+    ap.add_argument("data_file", nargs="?", default=None,
+                    help="SAFE dir / MTD_MSIL1C.xml / .mat / .npz")
     ap.add_argument("--roi_x_y", default="", help="x1,y1,x2,y2 on the 10m grid")
     ap.add_argument("--test_data", action="store_true")
     ap.add_argument("--true_data", action="store_true")
@@ -91,7 +129,17 @@ def main(argv=None) -> int:
     ap.add_argument("--run_60", action="store_true")
     ap.add_argument("--save_prefix", default="../data/")
     ap.add_argument("--seed", type=int, default=None, help="crop RNG seed")
+    ap.add_argument("--make-val-index", action="store_true",
+                    help="write data/train[60]/val_index.npy from the built "
+                    "archives (create_random.py equivalent) and exit")
+    ap.add_argument("--val-fraction", type=float, default=0.1,
+                    help="fraction of patch slots marked validation")
     args = ap.parse_args(argv)
+
+    if args.make_val_index:
+        return _make_val_index_cli(args)
+    if args.data_file is None:
+        ap.error("data_file is required (or pass --make-val-index)")
 
     roi_x_y = None
     if args.roi_x_y:

@@ -225,8 +225,9 @@ def open_data_files(path: str, run_60: bool, scale: float):
         val_ind = np.load(val_file)
     except OSError:
         raise FileNotFoundError(
-            f"{val_file} missing: generate it with "
-            "dsen2_tpu.data.make_val_index / the make-patches CLI"
+            f"{val_file} missing: generate it with `python -m "
+            "dsen2_tpu.cli.create_patches --make-val-index --save_prefix "
+            f"{path}`" + (" --run_60" if run_60 else "")
         )
     return _split(train, label, val_ind)
 

@@ -74,6 +74,37 @@ class TestCreatePatchesCLI:
         tile_dir = tmp_path / "true" / os.listdir(tmp_path / "true")[0]
         assert (tile_dir / "no_tiling" / "data60.npy").exists()
 
+    def test_make_val_index(self, synth_tile, tmp_path, capsys):
+        """--make-val-index (create_random.py equivalent) writes a loadable
+        mask sized to the built archives, closing the CLI-only workflow:
+        build patches -> make-val-index -> open_data_files succeeds."""
+        from dsen2_tpu.data.patches_dataset import open_data_files
+
+        rc = cp_cli.main(
+            [synth_tile, "--save_prefix", str(tmp_path) + "/", "--seed", "0"]
+        )
+        assert rc == 0
+        # Loader refuses without the mask and names the CLI incantation.
+        with pytest.raises(FileNotFoundError, match="make-val-index"):
+            open_data_files(str(tmp_path), False, 2000.0)
+        rc = cp_cli.main(
+            ["--make-val-index", "--save_prefix", str(tmp_path) + "/",
+             "--seed", "7", "--val-fraction", "0.2"]
+        )
+        assert rc == 0
+        mask = np.load(tmp_path / "train" / "val_index.npy")
+        tile = [d for d in os.listdir(tmp_path / "train") if d.endswith("SAFE")][0]
+        n = np.load(tmp_path / "train" / tile / "data10.npy").shape[0]
+        assert mask.dtype == bool and mask.shape == (n,)
+        assert int(mask.sum()) == int(n * 0.2)
+        tr_in, tr_lb, va_in, va_lb = open_data_files(str(tmp_path), False, 2000.0)
+        assert tr_lb.shape[0] + va_lb.shape[0] == n
+        assert va_lb.shape[0] == int(mask.sum())
+
+    def test_make_val_index_no_archives(self, tmp_path):
+        rc = cp_cli.main(["--make-val-index", "--save_prefix", str(tmp_path) + "/"])
+        assert rc == 1
+
 
 class TestTrainPredictCLI:
     def test_predict_over_archive(self, synth_tile, tmp_path):

@@ -16,16 +16,24 @@ def _enable_persistent_compile_cache() -> None:
     """Point JAX's persistent compilation cache at a stable directory so
     library/CLI processes reuse each other's compiled pipelines (first
     compile of a tile geometry is minutes on TPU; warm processes skip it).
+
+    The default lives NEXT TO THE PACKAGE (<repo>/.jax_cache) rather than
+    under the temp dir: /tmp is wiped between harness sessions, which made
+    every benchmark/CLI invocation a full cold compile (the measured r02
+    warmup was 187 s of which ~150 s was compilation). A repo-local cache
+    survives as long as the checkout does. Falls back to a per-uid tempdir
+    path when the package directory is not writable (system installs).
     Opt out with DSEN2_TPU_COMPILE_CACHE="" ; an explicit JAX setting
-    (env var or prior jax.config.update) is respected. The default path is
-    per-user (uid-suffixed under the temp dir): a fixed world-shared /tmp
-    path would collide between users and deserialize another user's
-    cached executables."""
+    (env var or prior jax.config.update) is respected."""
     import os
     import tempfile
 
+    repo_default = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
     uid = os.getuid() if hasattr(os, "getuid") else "u"  # no getuid on Windows
-    default = os.path.join(tempfile.gettempdir(), f"dsen2_jax_cache_{uid}")
+    tmp_default = os.path.join(tempfile.gettempdir(), f"dsen2_jax_cache_{uid}")
+    default = repo_default if os.access(os.path.dirname(repo_default), os.W_OK) else tmp_default
     cache_dir = os.environ.get("DSEN2_TPU_COMPILE_CACHE", default)
     if not cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
@@ -33,6 +41,9 @@ def _enable_persistent_compile_cache() -> None:
 
     if jax.config.jax_compilation_cache_dir is None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache medium-sized compiles too: the tiled pipelines are many
+        # seconds each, and sub-second helpers are cheap to store.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 _enable_persistent_compile_cache()

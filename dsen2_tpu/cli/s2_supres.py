@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--copy_original_bands", action="store_true")
     p.add_argument("--save_prefix", default="")
     p.add_argument("--deep", action="store_true", help="use the VDSen2 variant")
+    p.add_argument("--output-dtype", default="float32",
+                   choices=("float32", "uint16", "bfloat16"),
+                   help="SR readback dtype: uint16 = rounded integer "
+                   "reflectance at half the device->host bytes (the "
+                   "reference writer quantizes anyway, "
+                   "s2_tiles_supres.py:397); float32 is the parity default")
     p.add_argument("--ensemble", action="store_true",
                    help="geometric self-ensemble over the 8 dihedral transforms "
                         "(8x compute; boosts accuracy for orientation-robust "
@@ -109,23 +115,32 @@ def main(argv=None) -> int:
     if args.output_file_format == "ENVI" and output_file[-4:].lower() == ".hdr":
         output_file = output_file[:-4] + ".bin"
 
+    from dsen2_tpu.core.config import InferConfig
     from dsen2_tpu.infer.api import dsen2_20, dsen2_60
+
+    icfg2 = InferConfig(patch_size=128, border=8, output_dtype=args.output_dtype)
+    icfg6 = InferConfig(patch_size=192, border=12, output_dtype=args.output_dtype)
 
     sr60 = None
     if args.run_60 and tile.data60 is not None and tile.data20 is not None:
         print("Super-resolving the 60m data into 10m bands")
         sr60 = dsen2_60(tile.data10, tile.data20, tile.data60, deep=args.deep,
-                        ensemble=args.ensemble)
+                        ensemble=args.ensemble, infer_cfg=icfg6)
 
     sr20 = None
     if tile.data20 is not None:
         print("Super-resolving the 20m data into 10m bands")
         sr20 = dsen2_20(tile.data10, tile.data20, deep=args.deep,
-                        ensemble=args.ensemble)
+                        ensemble=args.ensemble, infer_cfg=icfg2)
 
     if sr20 is None:
         print("No super-resolution performed, exiting")
         return 0
+
+    if args.output_dtype == "bfloat16":
+        # bf16 is a readback-wire format; writers (GDAL/npz) get float32.
+        sr20 = sr20.astype(np.float32)
+        sr60 = sr60.astype(np.float32) if sr60 is not None else None
 
     if sr60 is not None:
         sr = np.concatenate((sr20, sr60), axis=2)

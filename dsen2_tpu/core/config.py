@@ -78,6 +78,15 @@ class InferConfig:
     #   "default" — single bf16 pass; ~6e-3 relative (RMSE ~15): turbo mode
     precision: str = "high"
     compute_dtype: str = "float32"
+    # Mosaic output / readback dtype:
+    #   "float32"  — the parity default.
+    #   "uint16"   — rounded, clipped [0, 65535] integer reflectance: halves
+    #                device->host bytes. Lossless for the data's semantics —
+    #                Sentinel-2 L1C reflectance is integer-valued at source
+    #                and the reference's own writer quantizes implicitly
+    #                (testing/s2_tiles_supres.py:397 writes Float64 of f32).
+    #   "bfloat16" — half the bytes at ~3 significant digits.
+    output_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

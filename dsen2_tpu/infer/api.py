@@ -51,7 +51,7 @@ def sr_tile(
     infer_cfg: InferConfig,
     grids: Tuple[PatchGrid, ...],
     out_hw: Tuple[int, int],
-    out_dtype=jnp.float32,
+    out_dtype=None,  # None -> infer_cfg.output_dtype
     pad_inputs: bool = True,
 ) -> jax.Array:
     """Fused tiled super-resolution over `inputs` (HWC rasters, one per
@@ -65,6 +65,9 @@ def sr_tile(
     p_hr = infer_cfg.patch_size
     border = infer_cfg.border
     interior = p_hr - 2 * border
+    if out_dtype is None:
+        out_dtype = jnp.dtype(infer_cfg.output_dtype)
+    out_dtype = jnp.dtype(out_dtype)
     compute_dtype = jnp.dtype(infer_cfg.compute_dtype)
     if compute_dtype != jnp.float32:
         # Turbo path: bf16 activations AND params halve HBM traffic through
@@ -107,6 +110,9 @@ def sr_tile(
         pred = s2net.apply(params, net_in, cfg, precision=infer_cfg.precision)
         pred = pred.astype(jnp.float32) * jnp.asarray(SCALE, jnp.float32)
         interiors = pred[:, border : p_hr - border, border : p_hr - border, :]
+        if jnp.issubdtype(out_dtype, jnp.integer):
+            info = jnp.iinfo(out_dtype)
+            interiors = jnp.clip(jnp.round(interiors), info.min, info.max)
         interiors = interiors.astype(mosaic.dtype)
 
         def write(img, wxs):
@@ -270,7 +276,12 @@ def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
         sr = _run(tr, lr_factor, cfg, params, infer_cfg, mesh=mesh)
         back = dihedral_np(np.asarray(sr), inverse_code[code]).astype(np.float64)
         acc = back if acc is None else acc + back
-    return (acc / 8.0).astype(np.float32)
+    mean = acc / 8.0
+    out_dtype = jnp.dtype(infer_cfg.output_dtype)  # np.dtype (bf16 via ml_dtypes)
+    if np.issubdtype(out_dtype, np.integer):
+        info = np.iinfo(out_dtype)
+        mean = np.clip(np.round(mean), info.min, info.max)
+    return mean.astype(out_dtype)
 
 
 def dsen2_20(

@@ -71,7 +71,8 @@ def sr_banded(
         band_rows.append((r0, r1))
         r0 = r1
 
-    out = np.empty((h10, w10, cfg.out_channels), np.float32)
+    out_dtype = jnp.dtype(infer_cfg.output_dtype)
+    out = np.empty((h10, w10, cfg.out_channels), out_dtype)
     pending: list[tuple[jax.Array, int, int]] = []
 
     for r0, r1 in band_rows:

@@ -236,7 +236,7 @@ def sr_tile_sharded(
         *(jax.device_put(jnp.asarray(w), shard) for w in windows),
     )
     result = np.asarray(result)  # [ndev, band_h_max, W, C]
-    out = np.empty((h10, w10, cfg.out_channels), np.float32)
+    out = np.empty((h10, w10, cfg.out_channels), jnp.dtype(infer_cfg.output_dtype))
     for s, (y0, band_h) in enumerate(band_meta):
         if band_h:
             out[y0 : y0 + band_h] = result[s, :band_h]

@@ -7,15 +7,23 @@ run through the banded engine (infer/engine.py::sr_banded), which overlaps
 band readback with the next band's compute, and the clock stops only when
 the LAST output byte is in host numpy arrays.
 
+Measured for each requested output dtype (BENCH_OUTPUT_DTYPES, default
+"float32,uint16"): float32 is the parity default; uint16 is the compact
+readback mode (InferConfig.output_dtype) that halves d2h bytes by rounding
+to integer reflectance on device — semantically lossless for Sentinel-2
+L1C data (integer-valued at source; the reference's own writer quantizes,
+testing/s2_tiles_supres.py:397).
+
 Weights are random-initialized (conv timing is weight-independent; accuracy
 is benchmarked separately by the demo CLI against real weights).
 
 Prints one JSON line. Env: BENCH_SIZE (default 10980), BENCH_PRECISION
-(default "high"), BENCH_ROWS_PER_BAND (default 16).
+(default "high"), BENCH_ROWS_PER_BAND (default 16), BENCH_OUTPUT_DTYPES.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -32,6 +40,7 @@ def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", "10980"))
     precision = os.environ.get("BENCH_PRECISION", "high")
     rows_per_band = int(os.environ.get("BENCH_ROWS_PER_BAND", "16"))
+    dtypes = os.environ.get("BENCH_OUTPUT_DTYPES", "float32,uint16").split(",")
     assert size % 6 == 0, "BENCH_SIZE must be a multiple of 6"
 
     import jax
@@ -53,37 +62,50 @@ def main() -> None:
     icfg2 = InferConfig(patch_size=128, border=8, batch_size=64, precision=precision)
     icfg6 = InferConfig(patch_size=192, border=12, batch_size=32, precision=precision)
 
-    def run():
-        sr60 = sr_banded([d10, d20, d60], 6, cfg6, params6, icfg6, rows_per_band)
-        sr20 = sr_banded([d10, d20], 2, cfg2, params2, icfg2, rows_per_band)
-        return sr20, sr60
-
-    t0 = time.time()
-    sr20, sr60 = run()  # cold: includes compile
-    warm_seconds = time.time() - t0
-    assert np.isfinite(sr20).all() and np.isfinite(sr60).all()
-
-    t0 = time.time()
-    sr20, sr60 = run()
-    seconds = time.time() - t0
-
-    out_mp = size * size / 1e6
     n_chips = len(jax.devices())
-    value = out_mp / seconds / n_chips
+    out_mp = size * size / 1e6
     baseline = (10980.0 * 10980.0 / 1e6) / 60.0 / 8.0
+
+    modes = {}
+    for dt in dtypes:
+        c2 = dataclasses.replace(icfg2, output_dtype=dt)
+        c6 = dataclasses.replace(icfg6, output_dtype=dt)
+
+        def run():
+            sr60 = sr_banded([d10, d20, d60], 6, cfg6, params6, c6, rows_per_band)
+            sr20 = sr_banded([d10, d20], 2, cfg2, params2, c2, rows_per_band)
+            return sr20, sr60
+
+        t0 = time.time()
+        sr20, sr60 = run()  # cold for this dtype: includes compile
+        warm_seconds = time.time() - t0
+        assert np.isfinite(sr20.astype(np.float32)).all()
+        assert np.isfinite(sr60.astype(np.float32)).all()
+
+        t0 = time.time()
+        sr20, sr60 = run()
+        seconds = time.time() - t0
+        modes[dt] = {
+            "seconds_both_nets_incl_readback": round(seconds, 3),
+            "warmup_seconds": round(warm_seconds, 3),
+            "output_gb": round((sr20.nbytes + sr60.nbytes) / 1e9, 3),
+            "mp_per_sec_per_chip": round(out_mp / seconds / n_chips, 4),
+        }
+
+    primary = modes[dtypes[0]]
+    value = primary["mp_per_sec_per_chip"]
     print(json.dumps({
         "metric": "sr_megapixels_per_sec_per_chip_e2e_readback",
-        "value": round(value, 4),
+        "value": value,
         "unit": "MP/s/chip",
         "vs_baseline": round(value / baseline, 4),
         "tile_10m_px": size,
-        "seconds_both_nets_incl_readback": round(seconds, 3),
-        "warmup_seconds": round(warm_seconds, 3),
-        "output_gb": round((sr20.nbytes + sr60.nbytes) / 1e9, 3),
         "rows_per_band": rows_per_band,
         "n_chips": n_chips,
         "precision": precision,
-        "note": "random weights; d2h tunnel-limited in this harness (~20-30 MB/s)",
+        "modes": modes,
+        "note": "random weights; d2h tunnel-limited in this harness (~20-30 MB/s); "
+        "uint16 = compact readback (InferConfig.output_dtype)",
     }))
 
 

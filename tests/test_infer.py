@@ -157,6 +157,83 @@ class TestBf16Turbo:
         assert np.isfinite(bf16).all()
 
 
+class TestCompactReadback:
+    """InferConfig.output_dtype: compact device->host formats (uint16 /
+    bfloat16) for the mosaic; f32 stays the parity default."""
+
+    def _scene(self, rng):
+        d10 = (rng.random((96, 96, 4)) * 12000).astype(np.float32)
+        d20 = (rng.random((48, 48, 6)) * 12000).astype(np.float32)
+        return d10, d20
+
+    def test_uint16_equals_rounded_f32(self, rng, tiny_cfg_2x):
+        d10, d20 = self._scene(rng)
+        params = s2net.init_params(jax.random.PRNGKey(11), tiny_cfg_2x)
+        base = InferConfig(patch_size=64, border=8, batch_size=4, precision="highest")
+        f32 = _run([d10, d20], 2, tiny_cfg_2x, params, base)
+        u16 = _run([d10, d20], 2, tiny_cfg_2x, params,
+                   InferConfig(patch_size=64, border=8, batch_size=4,
+                               precision="highest", output_dtype="uint16"))
+        assert u16.dtype == np.uint16
+        want = np.clip(np.round(f32), 0, 65535).astype(np.uint16)
+        # identical f32 prefix, same round-half-even on device and host;
+        # allow the odd half-ulp straddle at .5 boundaries
+        mismatch = np.abs(u16.astype(np.int32) - want.astype(np.int32))
+        assert mismatch.max() <= 1
+        assert (mismatch != 0).mean() < 1e-3
+
+    def test_bf16_output_dtype(self, rng, tiny_cfg_2x):
+        import ml_dtypes
+
+        d10, d20 = self._scene(rng)
+        params = s2net.init_params(jax.random.PRNGKey(12), tiny_cfg_2x)
+        f32 = _run([d10, d20], 2, tiny_cfg_2x, params,
+                   InferConfig(patch_size=64, border=8, batch_size=4, precision="highest"))
+        b16 = _run([d10, d20], 2, tiny_cfg_2x, params,
+                   InferConfig(patch_size=64, border=8, batch_size=4,
+                               precision="highest", output_dtype="bfloat16"))
+        assert b16.dtype == ml_dtypes.bfloat16
+        np.testing.assert_allclose(
+            b16.astype(np.float32), f32, rtol=1e-2, atol=64.0
+        )
+
+    def test_banded_uint16_matches_one_shot(self, rng, tiny_cfg_2x):
+        from dsen2_tpu.infer.engine import sr_banded
+
+        d10 = (rng.random((160, 96, 4)) * 12000).astype(np.float32)
+        d20 = (rng.random((80, 48, 6)) * 12000).astype(np.float32)
+        params = s2net.init_params(jax.random.PRNGKey(13), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4,
+                           precision="highest", output_dtype="uint16")
+        want = _run([d10, d20], 2, tiny_cfg_2x, params, icfg)
+        got = sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg, rows_per_band=2)
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got, want)
+
+    def test_ensemble_respects_output_dtype(self, rng, tiny_cfg_2x):
+        from dsen2_tpu.infer.api import _run_ensembled
+
+        d10, d20 = self._scene(rng)
+        params = s2net.init_params(jax.random.PRNGKey(14), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=64, border=8, batch_size=4,
+                           precision="highest", output_dtype="uint16")
+        out = _run_ensembled([d10, d20], 2, tiny_cfg_2x, params, icfg)
+        assert out.dtype == np.uint16
+        # Semantics: each transform reads back quantized (that is the d2h
+        # saving), the mean of the 8 quantized mosaics is quantized again.
+        from dsen2_tpu.ops.dihedral import dihedral_np, inverse_code
+
+        f32_icfg = InferConfig(patch_size=64, border=8, batch_size=4,
+                               precision="highest")
+        acc = np.zeros(out.shape, np.float64)
+        for code in range(8):
+            tr = [dihedral_np(r, code) for r in (d10, d20)]
+            sr = _run(tr, 2, tiny_cfg_2x, params, f32_icfg)
+            acc += np.clip(np.round(dihedral_np(sr, inverse_code[code])), 0, 65535)
+        want = np.clip(np.round(acc / 8.0), 0, 65535)
+        assert np.abs(out.astype(np.float64) - want).max() <= 1.0
+
+
 class TestMetrics:
     def test_per_band_and_global(self, rng):
         from dsen2_tpu.infer.metrics import (

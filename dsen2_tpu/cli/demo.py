@@ -56,6 +56,41 @@ def _save_fig(path, arrays_titles):
     plt.close(fig)
 
 
+def _stretch_pair(sr_comp: np.ndarray, in_comp: np.ndarray):
+    """Per-channel 1-99 percentile stretch for visualisation; limits come
+    from the SR composite and are applied to both images, like the
+    reference demo (testing/demoDSen2.py:131-137,150-157)."""
+    out_s = np.empty(sr_comp.shape, np.float32)
+    out_i = np.empty(in_comp.shape, np.float32)
+    for i in range(sr_comp.shape[2]):
+        a, b = np.percentile(sr_comp[:, :, i], (1, 99))
+        span = max(b - a, 1e-9)
+        out_s[..., i] = (np.clip(sr_comp[..., i], a, b) - a) / span
+        out_i[..., i] = (np.clip(in_comp[..., i], a, b) - a) / span
+    return out_s, out_i
+
+
+def _save_rgb_fig(path, panels):
+    """panels: list of (rgb image in [0,1], title). Side-by-side panels like
+    the reference's figures 6/7 (testing/demoDSen2.py:141-165)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    fig, axes = plt.subplots(1, len(panels), figsize=(6 * len(panels), 6))
+    if len(panels) == 1:
+        axes = [axes]
+    for ax, (img, title) in zip(axes, panels):
+        ax.imshow(img)
+        ax.set_title(title)
+        ax.set_axis_off()
+    fig.savefig(path, dpi=90, bbox_inches="tight")
+    plt.close(fig)
+
+
 def run_scene(path: str, deep: bool, plots: bool, out_dir: str,
               ensemble: bool = False) -> dict:
     import jax.numpy as jnp
@@ -83,6 +118,8 @@ def run_scene(path: str, deep: bool, plots: bool, out_dir: str,
         print("Bicubic 6x:")
         results["rmse_bicubic_60"] = rmse(bic60, gt20)
         return results
+    in20_vis = im20  # 20m input shown in the RGB comparison panels
+    rgb60 = None
     if gt20 is not None:
         # Pre-simulated scene (reference demo style): inputs are already LR.
         sr20 = dsen2_20(im10, im20, deep=deep, ensemble=ensemble)
@@ -98,6 +135,7 @@ def run_scene(path: str, deep: bool, plots: bool, out_dir: str,
         d10_lr = np.asarray(wald_downsample(jnp.asarray(im10), 2))
         d20_lr = np.asarray(wald_downsample(jnp.asarray(im20), 2))
         sr20 = dsen2_20(d10_lr, d20_lr, deep=deep, ensemble=ensemble)
+        in20_vis = d20_lr
         bic = np.asarray(matlab_imresize(jnp.asarray(d20_lr), im20.shape[:2]))
         print("DSen2 (simulated GT):")
         results["rmse_dsen2_20"] = rmse(sr20, im20)
@@ -132,6 +170,7 @@ def run_scene(path: str, deep: bool, plots: bool, out_dir: str,
             icfg60 = InferConfig(patch_size=patch, border=12, batch_size=32)
             sr60 = dsen2_60(d10_lr6, d20_lr6, d60_lr6, deep=deep, infer_cfg=icfg60,
                             ensemble=ensemble)
+            rgb60 = (sr60, d60_lr6)
             bic60 = np.asarray(matlab_imresize(jnp.asarray(d60_lr6), c60.shape[:2]))
             print("DSen2_60 (simulated GT):")
             results["rmse_dsen2_60"] = rmse(sr60, c60)
@@ -151,6 +190,27 @@ def run_scene(path: str, deep: bool, plots: bool, out_dir: str,
                 (np.abs(sr20[:, :, 1] - gt20[:, :, 1]), "abs diff"),
             ],
         )
+        # Percentile-stretched RGB comparison views, reference figures 6/7
+        # (testing/demoDSen2.py:131-165): SWIR composite for the 2x net,
+        # (B1,B9,B1) for the 6x net.
+        comp_s, comp_i = _stretch_pair(
+            sr20[:, :, [5, 3, 0]], in20_vis[:, :, [5, 3, 0]]
+        )
+        _save_rgb_fig(
+            os.path.join(out_dir, f"{name}_rgb20.png"),
+            [(comp_i, "Color composite (B12,B8a,B5)\n20m input"),
+             (comp_s, "Color composite (B12,B8a,B5)\n10m super-resolution")],
+        )
+        if rgb60 is not None:
+            sr60_vis, in60_vis = rgb60
+            comp_s, comp_i = _stretch_pair(
+                sr60_vis[:, :, [0, 1, 0]], in60_vis[:, :, [0, 1, 0]]
+            )
+            _save_rgb_fig(
+                os.path.join(out_dir, f"{name}_rgb60.png"),
+                [(comp_i, "Color composite (B1,B9,B1)\n60m input"),
+                 (comp_s, "Color composite (B1,B9,B1)\n10m super-resolution")],
+            )
     return results
 
 

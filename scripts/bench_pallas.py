@@ -1,0 +1,111 @@
+"""Microbenchmark: Pallas resblock kernels vs XLA convs on the real TPU.
+
+Round-2 measured the single-block fused kernel losing to XLA at every
+matched precision (docs/PERFORMANCE.md); the round-3 hypothesis is that the
+loss was (a) the synchronous per-block window DMA and (b) per-block halo
+recompute — both attacked by ops/pallas/resblock_chain.py (K blocks per
+DMA, cross-step double buffering). This script produces the decision
+numbers: TF/s on an 18-block chain, B x 128 x 128 x 128, bf16 and f32.
+
+Usage: python scripts/bench_pallas.py [--batch 64] [--iters 5] [--blocks 18]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--feat", type=int, default=128)
+    ap.add_argument("--blocks", type=int, default=18)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--tile-rows", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dsen2_tpu.ops.pallas.resblock import fused_resblock
+    from dsen2_tpu.ops.pallas.resblock_chain import fused_resblock_chain
+
+    b, hw, c, nb = args.batch, args.size, args.feat, args.blocks
+    flops = nb * 2 * 2 * b * hw * hw * c * c * 9  # 2 convs/block, 2 FLOP/MAC
+    rng = np.random.default_rng(0)
+    x_f32 = jnp.asarray(rng.standard_normal((b, hw, hw, c)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((nb, 3, 3, c, c)).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.standard_normal((nb, 3, 3, c, c)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.standard_normal((nb, c)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((nb, c)).astype(np.float32) * 0.1)
+
+    def xla_chain(x, w1, b1, w2, b2):
+        def block(x, wb):
+            cw1, cb1, cw2, cb2 = wb
+            t = jax.nn.relu(jax.lax.conv_general_dilated(
+                x, cw1, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + cb1)
+            y = jax.lax.conv_general_dilated(
+                t, cw2, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + cb2
+            return (x + 0.1 * y).astype(x.dtype), None
+
+        out, _ = jax.lax.scan(block, x, (w1, b1, w2, b2))
+        return out
+
+    xla_jit = jax.jit(xla_chain)
+
+    def pallas_single(x, w1, b1, w2, b2):
+        for k in range(nb):
+            x = fused_resblock(x, w1[k], b1[k], w2[k], b2[k],
+                               tile_rows=args.tile_rows)
+        return x
+
+    def bench(label, fn, *xs):
+        try:
+            out = jax.block_until_ready(fn(*xs))
+            del out
+            times = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*xs))
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+            print(f"{label:42s} {best * 1e3:8.2f} ms   {flops / best / 1e12:7.1f} TF/s")
+        except Exception as e:  # keep the sweep alive; report the failure
+            print(f"{label:42s} FAILED: {type(e).__name__}: {e}")
+
+    for dt, x in (("f32", x_f32), ("bf16", x_f32.astype(jnp.bfloat16))):
+        wd = [a.astype(x.dtype) for a in (w1, b1, w2, b2)]
+        print(f"--- dtype {dt} ({b}x{hw}x{hw}x{c}, {nb} blocks) ---")
+        bench(f"XLA conv chain [{dt}]", xla_jit, x, *wd)
+        bench(f"pallas single-block (r2 kernel) [{dt}]", pallas_single, x, *wd)
+        for k in (2, 3, 6):
+            if nb % k:
+                continue
+            kw1 = wd[0].reshape(nb // k, k, 3, 3, c, c)
+            kb1 = wd[1].reshape(nb // k, k, c)
+            kw2 = wd[2].reshape(nb // k, k, 3, 3, c, c)
+            kb2 = wd[3].reshape(nb // k, k, c)
+            tr = max(args.tile_rows, 4 * k)
+
+            def chain_fn(x, kw1=kw1, kb1=kb1, kw2=kw2, kb2=kb2, k=k, tr=tr):
+                for g in range(nb // k):
+                    x = fused_resblock_chain(
+                        x, kw1[g], kb1[g], kw2[g], kb2[g], tile_rows=tr)
+                return x
+
+            bench(f"pallas chain K={k} tile={tr} [{dt}]", chain_fn, x)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,6 +59,47 @@ def test_tile_rows_one_rejected(rng):
         fused_resblock(x, z, zb, z, zb, tile_rows=1, interpret=True)
 
 
+class TestFusedChain:
+    """K-block chain kernel (ops/pallas/resblock_chain.py) vs K XLA
+    resblocks, interpret mode."""
+
+    def _params(self, rng, k, c):
+        w1 = jnp.asarray(rng.standard_normal((k, 3, 3, c, c)).astype(np.float32) * 0.05)
+        w2 = jnp.asarray(rng.standard_normal((k, 3, 3, c, c)).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.standard_normal((k, c)).astype(np.float32) * 0.1)
+        b2 = jnp.asarray(rng.standard_normal((k, c)).astype(np.float32) * 0.1)
+        return w1, b1, w2, b2
+
+    def _want(self, x, w1, b1, w2, b2):
+        for k in range(w1.shape[0]):
+            x = xla_resblock(x, w1[k], b1[k], w2[k], b2[k])
+        return np.asarray(x)
+
+    @pytest.mark.parametrize("k,h,tile_rows", [
+        (2, 32, 8), (2, 16, 16), (3, 48, 12), (3, 64, 16), (1, 32, 8),
+    ])
+    def test_matches_xla_chain(self, rng, k, h, tile_rows):
+        from dsen2_tpu.ops.pallas.resblock_chain import fused_resblock_chain
+
+        c = 128
+        x = jnp.asarray(rng.standard_normal((2, h, 24, c)).astype(np.float32))
+        w1, b1, w2, b2 = self._params(rng, k, c)
+        want = self._want(x, w1, b1, w2, b2)
+        got = np.asarray(fused_resblock_chain(
+            x, w1, b1, w2, b2, tile_rows=tile_rows, interpret=True
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_tile_too_small_for_halo_rejected(self, rng):
+        from dsen2_tpu.ops.pallas.resblock_chain import fused_resblock_chain
+
+        c = 128
+        x = jnp.asarray(rng.standard_normal((1, 32, 8, c)).astype(np.float32))
+        w1, b1, w2, b2 = self._params(rng, 3, c)
+        with pytest.raises(ValueError, match="tile_rows"):
+            fused_resblock_chain(x, w1, b1, w2, b2, tile_rows=8, interpret=True)
+
+
 def test_odd_height_falls_back_to_xla(rng):
     """use_pallas on an odd-height input must warn and still be correct."""
     from dsen2_tpu.core.config import ModelConfig

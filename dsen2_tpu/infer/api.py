@@ -277,7 +277,9 @@ def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
         back = dihedral_np(np.asarray(sr), inverse_code[code]).astype(np.float64)
         acc = back if acc is None else acc + back
     mean = acc / 8.0
-    out_dtype = jnp.dtype(infer_cfg.output_dtype)  # np.dtype (bf16 via ml_dtypes)
+    out_dtype = jnp.dtype(
+        infer_cfg.output_dtype if infer_cfg is not None else "float32"
+    )  # np.dtype (bf16 via ml_dtypes)
     if np.issubdtype(out_dtype, np.integer):
         info = np.iinfo(out_dtype)
         mean = np.clip(np.round(mean), info.min, info.max)

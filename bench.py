@@ -84,8 +84,11 @@ def main() -> None:
     params6 = s2net.init_params(jax.random.PRNGKey(1), cfg6)
     batch2 = int(os.environ.get("BENCH_BATCH2", "64"))
     batch6 = int(os.environ.get("BENCH_BATCH6", "32"))
-    icfg2 = InferConfig(patch_size=128, border=8, batch_size=batch2, precision=precision)
-    icfg6 = InferConfig(patch_size=192, border=12, batch_size=batch6, precision=precision)
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    icfg2 = InferConfig(patch_size=128, border=8, batch_size=batch2,
+                        precision=precision, use_pallas=use_pallas)
+    icfg6 = InferConfig(patch_size=192, border=12, batch_size=batch6,
+                        precision=precision, use_pallas=use_pallas)
 
     def full_tile():
         """Both nets end-to-end, outputs resident on device; the checksum

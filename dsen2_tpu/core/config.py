@@ -78,6 +78,11 @@ class InferConfig:
     #   "default" — single bf16 pass; ~6e-3 relative (RMSE ~15): turbo mode
     precision: str = "high"
     compute_dtype: str = "float32"
+    # Route the residual blocks through the fused Pallas K=2 chain kernel
+    # (ops/pallas/resblock_chain.py). Accuracy class matches a single-pass
+    # conv ("default"-like); measured faster than the XLA convs at that
+    # class on v5e (scripts/bench_pallas.py). Opt-in.
+    use_pallas: bool = False
     # Mosaic output / readback dtype:
     #   "float32"  — the parity default.
     #   "uint16"   — rounded, clipped [0, 65535] integer reflectance: halves

@@ -107,7 +107,8 @@ def sr_tile(
         net_in = [patches[0] * inv_scale]
         for p_lr in patches[1:]:
             net_in.append(upsample_patches(p_lr, (p_hr, p_hr)) * inv_scale)
-        pred = s2net.apply(params, net_in, cfg, precision=infer_cfg.precision)
+        pred = s2net.apply(params, net_in, cfg, precision=infer_cfg.precision,
+                           use_pallas=infer_cfg.use_pallas)
         pred = pred.astype(jnp.float32) * jnp.asarray(SCALE, jnp.float32)
         interiors = pred[:, border : p_hr - border, border : p_hr - border, :]
         if jnp.issubdtype(out_dtype, jnp.integer):

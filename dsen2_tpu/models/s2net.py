@@ -126,20 +126,45 @@ def apply(
         warnings.warn("use_pallas requires an even image height; using XLA convs")
         use_pallas = False
 
+    scan_xs = params["blocks"]
     if use_pallas:
-        from dsen2_tpu.ops.pallas.resblock import fused_resblock
-
         h = x.shape[1]
-        tile_rows = max(t for t in (16, 8, 4, 2) if h % t == 0)
+        # Prefer the K=2 fused CHAIN kernel (two resblocks per window DMA,
+        # cross-step double buffering) — measured 110.6 TF/s f32 / 109.0
+        # bf16 vs XLA's 79.8 / 91.7 on the 18-block microbench
+        # (scripts/bench_pallas.py). Needs an even block count and a row
+        # tile >= 8 dividing H; otherwise the single-block kernel.
+        chain_tile = next((t for t in (16, 8) if h % t == 0), None)
+        if cfg.num_layers % 2 == 0 and chain_tile is not None:
+            from dsen2_tpu.ops.pallas.resblock_chain import fused_resblock_chain
 
-        def block(x, p):
-            return (
-                fused_resblock(
-                    x, p["w1"], p["b1"], p["w2"], p["b2"],
-                    scale=cfg.residual_scale, tile_rows=tile_rows,
-                ),
-                None,
+            scan_xs = jax.tree_util.tree_map(
+                lambda a: a.reshape(cfg.num_layers // 2, 2, *a.shape[1:]),
+                params["blocks"],
             )
+
+            def block(x, p):
+                return (
+                    fused_resblock_chain(
+                        x, p["w1"], p["b1"], p["w2"], p["b2"],
+                        scale=cfg.residual_scale, tile_rows=chain_tile,
+                    ),
+                    None,
+                )
+
+        else:
+            from dsen2_tpu.ops.pallas.resblock import fused_resblock
+
+            tile_rows = max(t for t in (16, 8, 4, 2) if h % t == 0)
+
+            def block(x, p):
+                return (
+                    fused_resblock(
+                        x, p["w1"], p["b1"], p["w2"], p["b2"],
+                        scale=cfg.residual_scale, tile_rows=tile_rows,
+                    ),
+                    None,
+                )
 
     else:
 
@@ -149,7 +174,7 @@ def apply(
             return x + scale * t, None
 
     block_fn = jax.checkpoint(block) if remat else block
-    x, _ = jax.lax.scan(block_fn, x, params["blocks"])
+    x, _ = jax.lax.scan(block_fn, x, scan_xs)
 
     x = _conv(x, params["tail"]["w"], params["tail"]["b"], prec)
     return x + inputs[-1]

@@ -70,18 +70,26 @@ def main() -> int:
         return x
 
     def bench(label, fn, *xs):
+        # Sync via an 8-byte checksum readback: on this harness's tunneled
+        # backend block_until_ready can return before the computation has
+        # actually finished (measured "TF/s" beyond hardware peak), so the
+        # scalar d2h is the only trustworthy completion barrier.
+        def run_synced():
+            s = float(jnp.sum(fn(*xs).astype(jnp.float32)))
+            assert np.isfinite(s), s
+
         try:
-            out = jax.block_until_ready(fn(*xs))
-            del out
+            run_synced()
             times = []
             for _ in range(args.iters):
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(*xs))
+                run_synced()
                 times.append(time.perf_counter() - t0)
             best = min(times)
             print(f"{label:42s} {best * 1e3:8.2f} ms   {flops / best / 1e12:7.1f} TF/s")
         except Exception as e:  # keep the sweep alive; report the failure
-            print(f"{label:42s} FAILED: {type(e).__name__}: {e}")
+            msg = str(e).split("\n")[0][:160]
+            print(f"{label:42s} FAILED: {type(e).__name__}: {msg}")
 
     for dt, x in (("f32", x_f32), ("bf16", x_f32.astype(jnp.bfloat16))):
         wd = [a.astype(x.dtype) for a in (w1, b1, w2, b2)]
@@ -95,7 +103,9 @@ def main() -> int:
             kb1 = wd[1].reshape(nb // k, k, c)
             kw2 = wd[2].reshape(nb // k, k, 3, 3, c, c)
             kb2 = wd[3].reshape(nb // k, k, c)
-            tr = max(args.tile_rows, 4 * k)
+            # smallest row tile that divides H and fits the 4K halo rule
+            tr = next((t for t in (8, 16, 32, 64, 128)
+                       if t >= max(args.tile_rows, 4 * k) and hw % t == 0), hw)
 
             def chain_fn(x, kw1=kw1, kb1=kb1, kw2=kw2, kb2=kb2, k=k, tr=tr):
                 for g in range(nb // k):

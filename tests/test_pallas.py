@@ -100,6 +100,33 @@ class TestFusedChain:
             fused_resblock_chain(x, w1, b1, w2, b2, tile_rows=8, interpret=True)
 
 
+def test_s2net_routes_even_models_through_chain(rng, monkeypatch):
+    """use_pallas with an even block count must pair blocks through the
+    chain kernel and match the XLA path (interpret mode on CPU)."""
+    import functools
+
+    from dsen2_tpu.core.config import ModelConfig
+    from dsen2_tpu.models import s2net
+    from dsen2_tpu.ops.pallas import resblock_chain
+
+    calls = []
+    orig = resblock_chain.fused_resblock_chain
+
+    def spy(x, w1, b1, w2, b2, **kw):
+        calls.append(w1.shape)
+        return orig(x, w1, b1, w2, b2, **dict(kw, interpret=True))
+
+    monkeypatch.setattr(resblock_chain, "fused_resblock_chain", spy)
+    cfg = ModelConfig(in_channels=(4, 6), num_layers=2, feature_size=32)
+    params = s2net.init_params(jax.random.PRNGKey(3), cfg)
+    x10 = jnp.asarray(rng.standard_normal((1, 32, 16, 4)).astype(np.float32))
+    x20 = jnp.asarray(rng.standard_normal((1, 32, 16, 6)).astype(np.float32))
+    got = s2net.apply(params, (x10, x20), cfg, use_pallas=True)
+    want = s2net.apply(params, (x10, x20), cfg)
+    assert calls and calls[0][0] == 2  # K=2 grouping reached the kernel
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
 def test_odd_height_falls_back_to_xla(rng):
     """use_pallas on an odd-height input must warn and still be correct."""
     from dsen2_tpu.core.config import ModelConfig

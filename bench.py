@@ -90,12 +90,30 @@ def main() -> None:
     icfg6 = InferConfig(patch_size=192, border=12, batch_size=batch6,
                         precision=precision, use_pallas=use_pallas)
 
-    def full_tile():
-        """Both nets end-to-end, outputs resident on device; the checksum
-        d2h (8 bytes) forces completion."""
-        sr60 = _run([d10, d20, d60], 6, cfg6, params6, icfg6, device_output=True)
-        sr20 = _run([d10, d20], 2, cfg2, params2, icfg2, device_output=True)
-        return sr20, sr60
+    banded = os.environ.get("BENCH_BANDED", "0") == "1"
+    if banded:
+        # Same compute through the banded engine's per-band program
+        # (device-resident): the much smaller executable avoids the
+        # multi-minute backend first-execution overhead the one-jit
+        # full-tile program pays in this harness.
+        from dsen2_tpu.infer.engine import sr_banded
+
+        rows_per_band = int(os.environ.get("BENCH_ROWS_PER_BAND", "16"))
+
+        def full_tile():
+            b60 = sr_banded([d10, d20, d60], 6, cfg6, params6, icfg6,
+                            rows_per_band, device_output=True)
+            b20 = sr_banded([d10, d20], 2, cfg2, params2, icfg2,
+                            rows_per_band, device_output=True)
+            return [b for b, _, _ in b20] + [b for b, _, _ in b60]
+
+    else:
+        def full_tile():
+            """Both nets end-to-end, outputs resident on device; the checksum
+            d2h (8 bytes) forces completion."""
+            sr60 = _run([d10, d20, d60], 6, cfg6, params6, icfg6, device_output=True)
+            sr20 = _run([d10, d20], 2, cfg2, params2, icfg2, device_output=True)
+            return sr20, sr60
 
     def sync(arrs):
         return float(sum(jnp.sum(a) for a in arrs))
@@ -179,6 +197,7 @@ def main() -> None:
                 "d2h_seconds_est": round(d2h_est, 3),
                 "n_chips": n_chips,
                 "precision": precision,
+                "banded": banded,
                 "deep": deep,
                 "note": "random weights (conv timing is weight-independent); "
                 "outputs scored device-resident, d2h reported separately "

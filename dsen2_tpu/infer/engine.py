@@ -35,10 +35,18 @@ def sr_banded(
     params,
     infer_cfg: InferConfig,
     rows_per_band: int = 16,
-) -> np.ndarray:
+    device_output: bool = False,
+):
     """Like infer.api._run but banded. rasters: finest-first HWC numpy.
     rows_per_band: patch-grid rows per band (16 rows x 112 px = 1792 output
-    rows per band on the default 2x geometry)."""
+    rows per band on the default 2x geometry).
+
+    device_output=True returns the bands as a list of (device_array, y0,
+    band_h) without any host readback — for callers that chain device work
+    or score compute without the d2h link. Beyond its API role this also
+    sidesteps a measured harness effect: the FIRST execution of the
+    one-jit full-tile program pays a multi-minute backend overhead that
+    the smaller per-band program does not."""
     if rows_per_band < 1:
         raise ValueError(f"rows_per_band must be >= 1, got {rows_per_band}")
     _validate_inputs(rasters, lr_factor, cfg, infer_cfg)
@@ -57,7 +65,11 @@ def sr_banded(
     ny = len(grids[0].starts_i)
     nx = n // ny
 
-    inputs = tuple(jnp.asarray(np.ascontiguousarray(r), jnp.float32) for r in rasters)
+    inputs = tuple(
+        r if isinstance(r, jax.Array)
+        else jnp.asarray(np.ascontiguousarray(r), jnp.float32)
+        for r in rasters
+    )
     batch = min(infer_cfg.batch_size, nx * min(rows_per_band, ny))
 
     # Assign grid rows to bands; the final flush row (if any) writes rows
@@ -72,7 +84,9 @@ def sr_banded(
         r0 = r1
 
     out_dtype = jnp.dtype(infer_cfg.output_dtype)
-    out = np.empty((h10, w10, cfg.out_channels), out_dtype)
+    out = None if device_output else np.empty(
+        (h10, w10, cfg.out_channels), out_dtype
+    )
     pending: list[tuple[jax.Array, int, int]] = []
 
     for r0, r1 in band_rows:
@@ -99,10 +113,12 @@ def sr_banded(
         )
         pending.append((band, y_off, band_h))
         # Drain the oldest band while the new one computes (async dispatch).
-        if len(pending) > 1:
+        if not device_output and len(pending) > 1:
             b, yo, bh = pending.pop(0)
             out[yo : yo + bh] = np.asarray(b)
 
+    if device_output:
+        return pending
     for b, yo, bh in pending:
         out[yo : yo + bh] = np.asarray(b)
     return out

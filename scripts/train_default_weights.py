@@ -108,7 +108,7 @@ def metric_row(sr, gt, scale):
             "ergas": ergas(sr, gt, scale), "uiq": uiq(sr, gt)}
 
 
-def evaluate(params, evals, run_60):
+def evaluate(params, evals, run_60, deep=False):
     """Full-scene + held-out-strip metric rows per scene, for bicubic /
     plain / self-ensembled inference."""
     import jax.numpy as jnp
@@ -129,12 +129,12 @@ def evaluate(params, evals, run_60):
             while patch // 6 - 4 > min(d60.shape[:2]) and patch > 36:
                 patch -= 36
             icfg = InferConfig(patch_size=patch, border=12, batch_size=32)
-            sr = dsen2_60(*ev["inputs"], params=params, infer_cfg=icfg)
+            sr = dsen2_60(*ev["inputs"], params=params, infer_cfg=icfg, deep=deep)
             sr_e = dsen2_60(*ev["inputs"], params=params, infer_cfg=icfg,
-                            ensemble=True)
+                            ensemble=True, deep=deep)
         else:
-            sr = dsen2_20(*ev["inputs"], params=params)
-            sr_e = dsen2_20(*ev["inputs"], params=params, ensemble=True)
+            sr = dsen2_20(*ev["inputs"], params=params, deep=deep)
+            sr_e = dsen2_20(*ev["inputs"], params=params, ensemble=True, deep=deep)
         rows = {}
         for tag, img in (("bicubic", bic), ("default", sr), ("default + ensemble", sr_e)):
             rows[tag] = metric_row(img, gt, scale)
@@ -164,12 +164,14 @@ def fmt_tables(results):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--run_60", action="store_true")
+    ap.add_argument("--deep", action="store_true", help="VDSen2 (32x256, batch 8)")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--n-crops", type=int, default=None, help="per scene")
     ap.add_argument("--holdout-frac", type=float, default=0.25)
     ap.add_argument("--scenes", default="/root/reference/data")
     ap.add_argument("--out", default=os.path.join(REPO, "models"))
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default 128, or the reference's 8 for --deep")
     ap.add_argument("--report", default=None,
                     help="append the markdown tables to this file")
     ap.add_argument("--json", default=None, help="dump raw metric rows here")
@@ -191,6 +193,7 @@ def main() -> int:
         print("need both bundled scenes", file=sys.stderr)
         return 1
     epochs = args.epochs or (600 if args.run_60 else 450)
+    batch = args.batch or (8 if args.deep else 128)
     n_crops = args.n_crops or (1000 if args.run_60 else 8000)
 
     work = tempfile.mkdtemp(prefix="dsen2_default_")
@@ -199,18 +202,19 @@ def main() -> int:
     print(f"train {tr_lb.shape[0]} / val {va_lb.shape[0]} patches; "
           f"{epochs} epochs, augmented, lr 1e-4 plateau")
 
-    cfg = (dsen2_6x if args.run_60 else dsen2_2x)(False)
-    tcfg = TrainConfig(lr=1e-4, batch_size=args.batch, model_nr="s2_dft_",
+    cfg = (dsen2_6x if args.run_60 else dsen2_2x)(args.deep)
+    tcfg = TrainConfig(lr=1e-4, batch_size=batch, model_nr="s2_dft_",
                        out_dir=work, augment=True)
     state, hist = fit(cfg, tcfg, tr_in, tr_lb, va_in, va_lb,
-                      epochs=epochs, stage_data=True, verbose=True)
+                      epochs=epochs, stage_data=True, verbose=True,
+                      remat=args.deep)
     best = min(hist["val_loss"]) if hist["val_loss"] else float("inf")
     print(f"run best val MAE {best:.4e}")
 
     ckpt = os.path.join(work, "s2_dft_lr_1e-04.npz")
     params = load_params_npz(ckpt) if os.path.exists(ckpt) else jax.device_get(state.params)
 
-    results = evaluate(params, evals, args.run_60)
+    results = evaluate(params, evals, args.run_60, deep=args.deep)
     tables = fmt_tables(results)
     print("\n" + tables)
 
@@ -235,7 +239,7 @@ def main() -> int:
         print(f"appended tables to {args.report}")
 
     if gate or args.force_install:
-        fname = reference_weight_filename(args.run_60, False)
+        fname = reference_weight_filename(args.run_60, args.deep)
         os.makedirs(args.out, exist_ok=True)
         installed = []
         for ext in (".hdf5", ".npz"):

@@ -126,6 +126,23 @@ class TestBandedEngine:
             got = sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg, rows_per_band=rows)
             np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
 
+    def test_device_output_bands_reassemble(self, rng, tiny_cfg_2x):
+        """device_output=True returns (band, y0, h) device arrays that
+        reassemble to exactly the host-path mosaic."""
+        from dsen2_tpu.infer.engine import sr_banded
+
+        d10 = (rng.random((160, 96, 4)) * 8000).astype(np.float32)
+        d20 = (rng.random((80, 48, 6)) * 8000).astype(np.float32)
+        params = s2net.init_params(jax.random.PRNGKey(21), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4, precision="highest")
+        want = sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg, rows_per_band=2)
+        bands = sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg,
+                          rows_per_band=2, device_output=True)
+        out = np.full_like(want, np.nan)
+        for b, y0, bh in bands:
+            out[y0 : y0 + bh] = np.asarray(b)
+        np.testing.assert_array_equal(out, want)
+
     def test_flush_row_merged(self, rng, tiny_cfg_2x):
         """Image height not divisible by the interior -> the edge-flush row
         must land in the last band with last-write-wins intact."""

@@ -148,7 +148,9 @@ def main() -> None:
     # BENCH_DEEP=0; resize with BENCH_DEEP_SIZE.
     deep = None
     if os.environ.get("BENCH_DEEP", "1") != "0":
-        dsize = int(os.environ.get("BENCH_DEEP_SIZE", "1830"))
+        # cap at the main tile: slicing clamps silently and would otherwise
+        # inflate the reported MP/s
+        dsize = min(int(os.environ.get("BENCH_DEEP_SIZE", "1830")), size)
         dd10 = jax.block_until_ready(jnp.asarray(d10[:dsize, :dsize]))
         dd20 = jax.block_until_ready(jnp.asarray(d20[: dsize // 2, : dsize // 2]))
         dcfg = dsen2_2x(True)
@@ -156,7 +158,7 @@ def main() -> None:
         dicfg = InferConfig(
             patch_size=128, border=8,
             batch_size=int(os.environ.get("BENCH_DEEP_BATCH", "16")),
-            precision=precision,
+            precision=precision, use_pallas=use_pallas,
         )
 
         def deep_tile():
@@ -198,6 +200,7 @@ def main() -> None:
                 "n_chips": n_chips,
                 "precision": precision,
                 "banded": banded,
+                "use_pallas": use_pallas,
                 "deep": deep,
                 "note": "random weights (conv timing is weight-independent); "
                 "outputs scored device-resident, d2h reported separately "

@@ -23,8 +23,12 @@ def _enable_persistent_compile_cache() -> None:
     warmup was 187 s of which ~150 s was compilation). A repo-local cache
     survives as long as the checkout does. Falls back to a per-uid tempdir
     path when the package directory is not writable (system installs).
-    Opt out with DSEN2_TPU_COMPILE_CACHE="" ; an explicit JAX setting
-    (env var or prior jax.config.update) is respected."""
+    On a checkout shared by several users, point DSEN2_TPU_COMPILE_CACHE
+    at per-user directories — JAX degrades unreadable entries to cache
+    misses with a warning, but cross-user reuse of compiled executables is
+    not a supported configuration. Opt out with DSEN2_TPU_COMPILE_CACHE="";
+    an explicit JAX setting (env var or prior jax.config.update) is
+    respected."""
     import os
     import tempfile
 

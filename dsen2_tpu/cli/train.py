@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import re
 import sys
 import time
 
@@ -179,12 +180,23 @@ def main(argv=None) -> int:
             )
         elif args.lr is not None:
             # Checkpoint predates recorded flags: an explicit --lr must
-            # still beat the restored opt_state/plateau lr. The lr may
-            # differ from the checkpointed one (unknowable here), so start
-            # the best-checkpoint gate fresh rather than risk a renamed
-            # checkpoint file that never gets written.
+            # still beat the restored opt_state/plateau lr.
             resume_kwargs["force_lr"] = lr
-            resume_kwargs.pop("best_val", None)
+            # Only reset the best-checkpoint gate when the lr actually
+            # changes the `{model_nr}lr_{lr}` filename — resetting on a
+            # SAME-lr resume would let a worse epoch overwrite the
+            # existing best file. The old lr is recoverable from the
+            # resumed filename; if it is not, assume a rename.
+            m = re.search(r"lr_([0-9.eE+-]+)(?:\.(?:hdf5|npz))?$",
+                          os.path.basename(args.resume_file.rstrip("/")))
+            old_lr = None
+            if m:
+                try:
+                    old_lr = float(m.group(1))
+                except ValueError:
+                    pass
+            if old_lr is None or f"{old_lr:.0e}" != f"{lr:.0e}":
+                resume_kwargs.pop("best_val", None)
     if not args.resume_file:
         # Fresh runs persist the architecture summary (reference dumps
         # model.yaml + plot_model PNG, supres_train.py:189-193).

@@ -227,7 +227,7 @@ def open_data_files(path: str, run_60: bool, scale: float):
         raise FileNotFoundError(
             f"{val_file} missing: generate it with `python -m "
             "dsen2_tpu.cli.create_patches --make-val-index --save_prefix "
-            f"{path}`" + (" --run_60" if run_60 else "")
+            f"{path}" + (" --run_60" if run_60 else "") + "`"
         )
     return _split(train, label, val_ind)
 

@@ -30,7 +30,24 @@ from dsen2_tpu.models import s2net
 from dsen2_tpu.ops.resize import upsample_patches
 from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 
-__all__ = ["dsen2_20", "dsen2_60", "sr_pipeline", "sr_tile"]
+__all__ = ["dsen2_20", "dsen2_60", "sr_pipeline", "sr_tile", "build_grids"]
+
+
+def build_grids(
+    shapes: Sequence[Tuple[int, ...]], lr_factor: int, infer_cfg: InferConfig
+) -> Tuple[PatchGrid, ...]:
+    """Per-raster patch grids for finest-first raster shapes ((H, W[, C])).
+    The grid lives on the coarsest raster (reference utils/patches.py:32-33
+    for 2x, :101-102 for 6x) and is scaled up to each finer one. Single
+    source of truth for every pipeline (one-shot, banded, sharded, cache
+    warming) — the compiled HLO is keyed on these geometries."""
+    h10 = shapes[0][0]
+    p_hr, b_hr = infer_cfg.patch_size, infer_cfg.border
+    g_coarse = PatchGrid(
+        shapes[-1][0], shapes[-1][1], p_hr // lr_factor, b_hr // lr_factor
+    )
+    factors = [lr_factor // (h10 // s[0]) for s in shapes]
+    return tuple(g_coarse.scaled(f) for f in factors)
 
 
 def _pad_to_multiple(arr: np.ndarray, mult: int) -> np.ndarray:
@@ -228,13 +245,7 @@ def _run(
         return sr_banded(rasters, lr_factor, cfg, params, infer_cfg)
     h10, w10 = rasters[0].shape[:2]
     p_hr, b_hr = infer_cfg.patch_size, infer_cfg.border
-    # The patch grid lives on the coarsest raster (reference
-    # utils/patches.py:32-33 for 2x, :101-102 for 6x).
-    g_coarse = PatchGrid(
-        rasters[-1].shape[0], rasters[-1].shape[1], p_hr // lr_factor, b_hr // lr_factor
-    )
-    factors = [lr_factor // (h10 // r.shape[0]) for r in rasters]
-    grids = tuple(g_coarse.scaled(f) for f in factors)
+    grids = build_grids([r.shape for r in rasters], lr_factor, infer_cfg)
 
     interior = p_hr - 2 * b_hr
     batch = min(infer_cfg.batch_size, grids[0].num_patches)

@@ -22,7 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from dsen2_tpu.core.config import InferConfig, ModelConfig
-from dsen2_tpu.infer.api import _pad_to_multiple, _validate_inputs, sr_pipeline
+from dsen2_tpu.infer.api import (
+    _pad_to_multiple,
+    _validate_inputs,
+    build_grids,
+    sr_pipeline,
+)
 from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 
 __all__ = ["sr_banded"]
@@ -52,11 +57,7 @@ def sr_banded(
     _validate_inputs(rasters, lr_factor, cfg, infer_cfg)
     h10, w10 = rasters[0].shape[:2]
     p_hr, b_hr = infer_cfg.patch_size, infer_cfg.border
-    g_coarse = PatchGrid(
-        rasters[-1].shape[0], rasters[-1].shape[1], p_hr // lr_factor, b_hr // lr_factor
-    )
-    factors = [lr_factor // (h10 // r.shape[0]) for r in rasters]
-    grids = tuple(g_coarse.scaled(f) for f in factors)
+    grids = build_grids([r.shape for r in rasters], lr_factor, infer_cfg)
     interior = p_hr - 2 * b_hr
 
     starts_all = [g.flat_starts() for g in grids]

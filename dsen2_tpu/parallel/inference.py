@@ -32,7 +32,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from dsen2_tpu.core.config import InferConfig, ModelConfig, dsen2_2x, dsen2_6x
-from dsen2_tpu.infer.api import _pad_to_multiple, _prepare_schedule, sr_tile
+from dsen2_tpu.infer.api import (
+    _pad_to_multiple,
+    _prepare_schedule,
+    build_grids,
+    sr_tile,
+)
 from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 from dsen2_tpu.parallel.mesh import DATA_AXIS
 
@@ -62,12 +67,7 @@ def sr_tiles_sharded(
 
     h10, w10 = tile_inputs[0].shape[1:3]
     p_hr, b_hr = infer_cfg.patch_size, infer_cfg.border
-    g_coarse = PatchGrid(
-        tile_inputs[-1].shape[1], tile_inputs[-1].shape[2],
-        p_hr // lr_factor, b_hr // lr_factor,
-    )
-    factors = [lr_factor // (h10 // r.shape[1]) for r in tile_inputs]
-    grids = tuple(g_coarse.scaled(f) for f in factors)
+    grids = build_grids([r.shape[1:] for r in tile_inputs], lr_factor, infer_cfg)
     interior = p_hr - 2 * b_hr
     batch = min(infer_cfg.batch_size, grids[0].num_patches)
     starts, positions, _ = _prepare_schedule(grids, (h10, w10), interior, batch)
@@ -148,11 +148,7 @@ def sr_tile_sharded(
     ndev = mesh.shape[DATA_AXIS]
     h10, w10 = rasters[0].shape[:2]
     p_hr, b_hr = infer_cfg.patch_size, infer_cfg.border
-    g_coarse = PatchGrid(
-        rasters[-1].shape[0], rasters[-1].shape[1], p_hr // lr_factor, b_hr // lr_factor
-    )
-    factors = [lr_factor // (h10 // r.shape[0]) for r in rasters]
-    grids = tuple(g_coarse.scaled(f) for f in factors)
+    grids = build_grids([r.shape for r in rasters], lr_factor, infer_cfg)
     interior = p_hr - 2 * b_hr
 
     ny = len(grids[0].starts_i)

@@ -7,17 +7,23 @@ dsen2_tpu import hook points JAX's persistent compilation cache at
 script populates it ahead of time by LOWERING AND COMPILING — never
 executing — the fused inference pipeline for the production geometries:
 
-  - DSen2 2x, full 10980 tile (patch 128/8, batch 64)
-  - DSen2_60 6x, full 10980 tile (patch 192/12, batch 32)
+  - DSen2 2x and DSen2_60 6x on the full 10980 tile, BOTH execution paths:
+    the one-jit whole-mosaic program (device-resident callers, bench.py)
+    AND every distinct per-band program of the banded engine
+    (infer/engine.py — what the public API/CLI actually run for
+    host-output full tiles)
   - VDSen2 2x on the bench.py deep sub-tile (1830, batch 16)
 
 Inputs and parameters are jax.ShapeDtypeStructs, so no tile-sized buffers
-are allocated and no TPU step runs; the compiled executables land in the
-cache keyed by the same HLO the real API produces. Run once after cloning
-(or after a JAX upgrade): `python scripts/warm_cache.py`.
+are allocated and no TPU step runs; the geometry derivation is the SAME
+code the pipelines use (infer.api.build_grids + the banded row plan), so
+the compiled executables land in the cache under exactly the keys the real
+API will look up. Run once after cloning (or after a JAX upgrade):
+`python scripts/warm_cache.py`.
 
 Env: WARM_SIZE (default 10980), WARM_DEEP_SIZE (default 1830; 0 skips),
-WARM_PRECISION (default "high"), WARM_BATCH2/WARM_BATCH6 (64/32).
+WARM_PRECISION (default "high"), WARM_BATCH2/WARM_BATCH6 (64/32),
+WARM_ROWS_PER_BAND (default 16, the sr_banded default; 0 skips banded).
 """
 
 from __future__ import annotations
@@ -31,50 +37,89 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def warm_one(lr_factor: int, cfg, icfg, size: int) -> float:
-    import jax
-    import jax.numpy as jnp
-
-    from dsen2_tpu.infer.api import _prepare_schedule, sr_pipeline
-    from dsen2_tpu.models import s2net
-    from dsen2_tpu.ops.tiling import PatchGrid
-
-    shapes = {
+def _input_shapes(lr_factor: int, size: int):
+    return {
         2: [(size, size, 4), (size // 2, size // 2, 6)],
         6: [(size, size, 4), (size // 2, size // 2, 6), (size // 6, size // 6, 2)],
     }[lr_factor]
-    p_hr, b_hr = icfg.patch_size, icfg.border
-    g_coarse = PatchGrid(
-        shapes[-1][0], shapes[-1][1], p_hr // lr_factor, b_hr // lr_factor
-    )
-    factors = [lr_factor // (size // s[0]) for s in shapes]
-    grids = tuple(g_coarse.scaled(f) for f in factors)
-    interior = p_hr - 2 * b_hr
-    batch = min(icfg.batch_size, grids[0].num_patches)
-    starts, positions, _ = _prepare_schedule(grids, (size, size), interior, batch)
+
+
+def warm_one(lr_factor: int, cfg, icfg, size: int, rows_per_band: int) -> int:
+    """Compile (cache-write or cache-hit) every pipeline program this
+    geometry can execute; returns the number of programs compiled."""
+    import jax
+    import jax.numpy as jnp
+
+    from dsen2_tpu.infer.api import _prepare_schedule, build_grids, sr_pipeline
+    from dsen2_tpu.models import s2net
+    from dsen2_tpu.ops.tiling import recompose_positions
+
+    shapes = _input_shapes(lr_factor, size)
+    grids = build_grids(shapes, lr_factor, icfg)
+    interior = icfg.patch_size - 2 * icfg.border
 
     params = jax.eval_shape(
         lambda k: s2net.init_params(k, cfg), jax.random.PRNGKey(0)
     )
     inputs = tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes)
-    t0 = time.time()
-    sr_pipeline.lower(
-        params,
-        inputs,
-        jax.ShapeDtypeStruct(starts.shape, jnp.int32),
-        jax.ShapeDtypeStruct(positions.shape, jnp.int32),
-        cfg=cfg,
-        infer_cfg=icfg,
-        grids=grids,
-        out_hw=(size, size),
-    ).compile()
-    return time.time() - t0
+
+    def compile_program(starts_shape, pos_shape, out_hw):
+        sr_pipeline.lower(
+            params,
+            inputs,
+            jax.ShapeDtypeStruct(starts_shape, jnp.int32),
+            jax.ShapeDtypeStruct(pos_shape, jnp.int32),
+            cfg=cfg,
+            infer_cfg=icfg,
+            grids=grids,
+            out_hw=out_hw,
+        ).compile()
+
+    jobs = []
+    # 1. the one-jit whole-mosaic program (infer.api._run device_output path)
+    batch = min(icfg.batch_size, grids[0].num_patches)
+    starts, positions, _ = _prepare_schedule(grids, (size, size), interior, batch)
+    jobs.append((starts.shape, positions.shape, (size, size)))
+
+    # 2. the banded engine's per-band programs (infer/engine.py::sr_banded,
+    #    the host-output full-tile path) — mirror its band plan exactly.
+    if rows_per_band:
+        pos_all = recompose_positions((size, size), interior)
+        ny = len(grids[0].starts_i)
+        nx = pos_all.shape[0] // ny
+        bbatch = min(icfg.batch_size, nx * min(rows_per_band, ny))
+        band_rows, r0 = [], 0
+        while r0 < ny:
+            r1 = min(r0 + rows_per_band, ny)
+            if ny - r1 == 1:
+                r1 = ny
+            band_rows.append((r0, r1))
+            r0 = r1
+        seen = set()
+        for r0, r1 in band_rows:
+            sl = pos_all[r0 * nx : r1 * nx]
+            y_off = int(sl[:, 0].min())
+            band_h = int(sl[:, 0].max()) + interior - y_off
+            n = sl.shape[0]
+            nb = -(-n // bbatch)
+            key = (nb, band_h)
+            if key in seen:
+                continue
+            seen.add(key)
+            jobs.append((
+                (nb, bbatch, len(grids), 2), (nb, bbatch, 2), (band_h, size),
+            ))
+
+    for starts_shape, pos_shape, out_hw in jobs:
+        compile_program(starts_shape, pos_shape, out_hw)
+    return len(jobs)
 
 
 def main() -> int:
     size = int(os.environ.get("WARM_SIZE", "10980"))
     deep_size = int(os.environ.get("WARM_DEEP_SIZE", "1830"))
     precision = os.environ.get("WARM_PRECISION", "high")
+    rows_per_band = int(os.environ.get("WARM_ROWS_PER_BAND", "16"))
 
     import jax
 
@@ -86,22 +131,24 @@ def main() -> int:
         ("DSen2 2x", 2, dsen2_2x(False), InferConfig(
             patch_size=128, border=8,
             batch_size=int(os.environ.get("WARM_BATCH2", "64")),
-            precision=precision), size),
+            precision=precision), size, rows_per_band),
         ("DSen2_60 6x", 6, dsen2_6x(False), InferConfig(
             patch_size=192, border=12,
             batch_size=int(os.environ.get("WARM_BATCH6", "32")),
-            precision=precision), size),
+            precision=precision), size, rows_per_band),
     ]
     if deep_size:
         jobs.append(("VDSen2 2x", 2, dsen2_2x(True), InferConfig(
             patch_size=128, border=8,
             batch_size=int(os.environ.get("BENCH_DEEP_BATCH", "16")),
-            precision=precision), deep_size))
+            precision=precision), deep_size, 0))
 
     print(f"cache dir: {jax.config.jax_compilation_cache_dir}")
-    for name, lr_factor, cfg, icfg, sz in jobs:
-        dt = warm_one(lr_factor, cfg, icfg, sz)
-        print(f"warmed {name} @ {sz} ({precision}): {dt:.1f} s")
+    for name, lr_factor, cfg, icfg, sz, rows in jobs:
+        t0 = time.time()
+        n = warm_one(lr_factor, cfg, icfg, sz, rows)
+        print(f"warmed {name} @ {sz} ({precision}): {n} programs, "
+              f"{time.time() - t0:.1f} s")
     return 0
 
 

@@ -22,7 +22,10 @@ Env overrides: BENCH_SIZE (10 m grid size, default 10980; must be a multiple
 of 6), BENCH_PRECISION (default "high" = bf16x3, ~3e-5 relative error;
 "highest" for true-f32 parity; "default" for single-pass bf16 turbo),
 BENCH_REPEATS (default 1 timed repeat after warmup), BENCH_BATCH2/BENCH_BATCH6
-(patch batch sizes, defaults 64/32).
+(patch batch sizes, defaults 64/32), BENCH_BANDED (default 1: the banded
+per-band program; 0 for the one-jit whole-tile pipeline),
+BENCH_DEEP_FULL=1 (measure VDSen2 on the FULL BENCH_SIZE tile via the banded
+engine instead of the 1830^2 sub-tile extrapolation).
 """
 
 from __future__ import annotations
@@ -62,9 +65,11 @@ def main() -> None:
     # pooled tunnel and a fresh process can wait MINUTES for the chip's
     # lease if another process held it recently. Measure that claim stall
     # separately so warmup_seconds reflects the framework (compile/load +
-    # first execution), not the pool's weather.
+    # first execution), not the pool's weather. Synced via an actual 8-byte
+    # checksum readback, not block_until_ready — the latter can return
+    # before completion on this tunneled backend (docs/PERFORMANCE.md).
     t0 = time.time()
-    jax.block_until_ready(jax.numpy.zeros((8,)))
+    float(jnp.sum(jnp.zeros((8,))))
     device_claim_seconds = time.time() - t0
 
     rng = np.random.default_rng(0)
@@ -90,12 +95,13 @@ def main() -> None:
     icfg6 = InferConfig(patch_size=192, border=12, batch_size=batch6,
                         precision=precision, use_pallas=use_pallas)
 
-    banded = os.environ.get("BENCH_BANDED", "0") == "1"
+    # Banded is the DEFAULT program shape (BENCH_BANDED=0 for the one-jit
+    # whole-tile pipeline): steady state is within 1% of one-jit (19.8 vs
+    # 20.0 s at 10980^2) but the much smaller per-band executable pays a
+    # measurably tamer and less variable backend first-execution overhead
+    # in this harness (docs/PERFORMANCE.md round-3/4 warmup dissection).
+    banded = os.environ.get("BENCH_BANDED", "1") == "1"
     if banded:
-        # Same compute through the banded engine's per-band program
-        # (device-resident): the much smaller executable avoids the
-        # multi-minute backend first-execution overhead the one-jit
-        # full-tile program pays in this harness.
         from dsen2_tpu.infer.engine import sr_banded
 
         rows_per_band = int(os.environ.get("BENCH_ROWS_PER_BAND", "16"))
@@ -147,10 +153,13 @@ def main() -> None:
     # DSen2; extrapolated full-tile seconds reported alongside. Disable with
     # BENCH_DEEP=0; resize with BENCH_DEEP_SIZE.
     deep = None
+    deep_full = os.environ.get("BENCH_DEEP_FULL", "0") == "1"
     if os.environ.get("BENCH_DEEP", "1") != "0":
         # cap at the main tile: slicing clamps silently and would otherwise
         # inflate the reported MP/s
-        dsize = min(int(os.environ.get("BENCH_DEEP_SIZE", "1830")), size)
+        dsize = size if deep_full else min(
+            int(os.environ.get("BENCH_DEEP_SIZE", "1830")), size
+        )
         dd10 = jax.block_until_ready(jnp.asarray(d10[:dsize, :dsize]))
         dd20 = jax.block_until_ready(jnp.asarray(d20[: dsize // 2, : dsize // 2]))
         dcfg = dsen2_2x(True)
@@ -161,15 +170,28 @@ def main() -> None:
             precision=precision, use_pallas=use_pallas,
         )
 
-        def deep_tile():
-            return _run([dd10, dd20], 2, dcfg, dparams, dicfg, device_output=True)
+        if deep_full:
+            # MEASURED full-tile VDSen2 through the banded engine (the
+            # program shape a real 10980^2 deep run uses), not the sub-tile
+            # quadratic extrapolation.
+            from dsen2_tpu.infer.engine import sr_banded
+
+            def deep_checksum():
+                bands = sr_banded([dd10, dd20], 2, dcfg, dparams, dicfg,
+                                  rows_per_band=16, device_output=True)
+                return float(sum(jnp.sum(b) for b, _, _ in bands))
+        else:
+            def deep_checksum():
+                return float(jnp.sum(
+                    _run([dd10, dd20], 2, dcfg, dparams, dicfg, device_output=True)
+                ))
 
         t0 = time.time()
-        dsum = float(jnp.sum(deep_tile()))
+        dsum = deep_checksum()
         deep_warm = time.time() - t0
         assert np.isfinite(dsum), dsum
         t0 = time.time()
-        float(jnp.sum(deep_tile()))
+        deep_checksum()
         deep_best = time.time() - t0
         deep_mp = dsize * dsize / 1e6
         deep = {
@@ -178,8 +200,11 @@ def main() -> None:
             "seconds": round(deep_best, 3),
             "warmup_seconds": round(deep_warm, 3),
             "mp_per_sec_per_chip": round(deep_mp / deep_best / n_chips, 4),
-            "est_full_tile_seconds": round(deep_best * (size / dsize) ** 2, 1),
         }
+        if deep_full:
+            deep["full_tile_seconds"] = round(deep_best, 1)
+        else:
+            deep["est_full_tile_seconds"] = round(deep_best * (size / dsize) ** 2, 1)
 
     out_mp = (size * size) / 1e6
     value = out_mp / best / n_chips

@@ -26,7 +26,12 @@ def _enable_persistent_compile_cache() -> None:
     On a checkout shared by several users, point DSEN2_TPU_COMPILE_CACHE
     at per-user directories — JAX degrades unreadable entries to cache
     misses with a warning, but cross-user reuse of compiled executables is
-    not a supported configuration. Opt out with DSEN2_TPU_COMPILE_CACHE="";
+    not a supported configuration; to keep that configuration from arising
+    implicitly, the repo-local default additionally requires the checkout
+    (and any existing cache dir) to be OWNED by the current uid —
+    deserializing executables another user wrote is an integrity risk, and
+    a group/world-writable shared checkout falls back to the per-uid
+    tempdir path instead. Opt out with DSEN2_TPU_COMPILE_CACHE="";
     an explicit JAX setting (env var or prior jax.config.update) is
     respected."""
     import os
@@ -37,7 +42,21 @@ def _enable_persistent_compile_cache() -> None:
     )
     uid = os.getuid() if hasattr(os, "getuid") else "u"  # no getuid on Windows
     tmp_default = os.path.join(tempfile.gettempdir(), f"dsen2_jax_cache_{uid}")
-    default = repo_default if os.access(os.path.dirname(repo_default), os.W_OK) else tmp_default
+
+    def _owned_by_me(path: str) -> bool:
+        if not hasattr(os, "getuid"):
+            return True  # no POSIX ownership on Windows; writability governs
+        try:
+            return os.stat(path).st_uid == os.getuid()
+        except OSError:
+            return False
+
+    use_repo = (
+        os.access(os.path.dirname(repo_default), os.W_OK)
+        and _owned_by_me(os.path.dirname(repo_default))
+        and (not os.path.exists(repo_default) or _owned_by_me(repo_default))
+    )
+    default = repo_default if use_repo else tmp_default
     cache_dir = os.environ.get("DSEN2_TPU_COMPILE_CACHE", default)
     if not cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return

@@ -50,7 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ensemble", action="store_true",
                    help="geometric self-ensemble over the 8 dihedral transforms "
                         "(8x compute; boosts accuracy for orientation-robust "
-                        "weights)")
+                        "weights). Runs device-resident: one averaged readback, "
+                        "and --output-dtype quantizes only the final mean")
     return p
 
 

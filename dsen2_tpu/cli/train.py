@@ -234,13 +234,20 @@ def main(argv=None) -> int:
 
 def _predict(args, cfg) -> int:
     """Batch prediction over prepared test archives
-    (reference: supres_train.py:149-179)."""
+    (reference: supres_train.py:149-179).
+
+    Streams each archive off memmaps batch-by-batch and mosaics every
+    predicted interior straight into the output image (the same sequential
+    last-write-wins order as ops/tiling.recompose), so RSS stays bounded by
+    the output mosaic + one batch even for full-tile archives — the
+    reference (and the round-3 version of this CLI) loaded the whole patch
+    archive and the whole prediction stack into RAM."""
     import jax.numpy as jnp
 
     from dsen2_tpu.core.bands import SCALE
-    from dsen2_tpu.data.patches_dataset import open_data_files_test
+    from dsen2_tpu.data.patches_dataset import open_data_files_test_stream
     from dsen2_tpu.models import s2net
-    from dsen2_tpu.ops.tiling import recompose
+    from dsen2_tpu.ops.tiling import recompose_positions
     from dsen2_tpu.weights import load_keras_weights
 
     if args.true:
@@ -269,17 +276,30 @@ def _predict(args, cfg) -> int:
     for dset in dsets:
         start = time.time()
         print(f"Predicting: {os.path.basename(dset)}.")
-        inputs, image_size = open_data_files_test(dset, args.run_60, SCALE)
-        n = inputs[0].shape[0]
-        preds = []
-        bs = 8
-        for i in range(0, n, bs):
-            batch_in = tuple(jnp.asarray(a[i : i + bs]) for a in inputs)
-            preds.append(np.asarray(fwd(params, batch_in)))
-        prediction = np.concatenate(preds)
-        images = np.asarray(
-            recompose(jnp.asarray(prediction), border, (image_size[0], image_size[1]))
+        batches, image_size, n, patch_px = open_data_files_test_stream(
+            dset, args.run_60, SCALE, batch_size=8
         )
+        h, w = int(image_size[0]), int(image_size[1])
+        interior = patch_px - 2 * border
+        if interior > h or interior > w:
+            raise ValueError(
+                f"patch interior {interior} exceeds the image ({h}, {w})"
+            )
+        pos = recompose_positions((h, w), interior)
+        images = np.zeros((h, w, cfg.out_channels), np.float32)
+        k = 0
+        for batch_in in batches:
+            pred = np.asarray(fwd(params, tuple(jnp.asarray(a) for a in batch_in)))
+            for j in range(pred.shape[0]):
+                # Trailing patches beyond the grid are the reference's zero
+                # slack slots; recompose ignores them (utils/patches.py:35).
+                if k < len(pos):
+                    y, x = pos[k]
+                    images[y : y + interior, x : x + interior] = pred[
+                        j, border : patch_px - border, border : patch_px - border
+                    ]
+                k += 1
+        assert k == n, (k, n)
         out = os.path.join(dset, model_nr + "-predict.npy")
         print("Writing to file...")
         np.save(out, images * SCALE)

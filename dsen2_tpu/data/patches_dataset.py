@@ -38,6 +38,7 @@ __all__ = [
     "make_val_index",
     "open_data_files",
     "open_data_files_test",
+    "open_data_files_test_stream",
 ]
 
 
@@ -248,3 +249,32 @@ def open_data_files_test(path: str, run_60: bool, scale: float):
     # (utils/patches.py:345 + :384-385); that conflation is fixed here.
     image_size = [roi[3] - roi[1], roi[2] - roi[0]]
     return inputs, image_size
+
+
+def open_data_files_test_stream(
+    path: str, run_60: bool, scale: float, batch_size: int = 8
+):
+    """Streaming twin of open_data_files_test: the patch archives are
+    memmapped and yielded as NHWC/scale batches, so a full-tile archive
+    (GBs of patches) never loads whole into RAM. Returns
+    (batch generator, image_size (h, w), n_patches, patch_px)."""
+    scale = scale or 1
+    names = ["data10", "data20"] + (["data60"] if run_60 else [])
+    mms = [
+        np.load(os.path.join(path, name + ".npy"), mmap_mode="r") for name in names
+    ]
+    with open(os.path.join(path, "roi.json")) as f:
+        roi = json.load(f)
+    image_size = [roi[3] - roi[1], roi[2] - roi[0]]
+    n = mms[0].shape[0]
+    patch_px = int(mms[0].shape[-1])
+
+    def gen():
+        for i in range(0, n, batch_size):
+            yield [
+                _to_hwc(np.asarray(a[i : i + batch_size], np.float32))
+                / np.float32(scale)
+                for a in mms
+            ]
+
+    return gen(), image_size, n, patch_px

@@ -92,6 +92,38 @@ class StreamingPatchDataset:
             out.append(_to_hwc(np.asarray(arr[rows], np.float32)) / np.float32(self.scale))
         return out[:-1], out[-1]
 
+    def val_batches(self, batch_size: int):
+        """Yield (count, inputs list, label) batches over the validation
+        split with ONE tile's val rows resident at a time (bounded RSS,
+        like epoch_batches) — deterministic tile/row order, so every epoch
+        evaluates the identical sequence. Batches cross tile boundaries via
+        the same remainder carry as the training stream."""
+        carry_in: Optional[List[np.ndarray]] = None
+        carry_lb: Optional[np.ndarray] = None
+        for t in range(len(self.dsets)):
+            rows = self.val_rows[t]
+            if len(rows) == 0:
+                continue
+            tin, tlb = self._load_rows(t, rows)
+            if carry_lb is not None:
+                tin = [np.concatenate([c, a]) for c, a in zip(carry_in, tin)]
+                tlb = np.concatenate([carry_lb, tlb])
+            m = tlb.shape[0]
+            full = m // batch_size * batch_size
+            for i in range(0, full, batch_size):
+                yield (
+                    batch_size,
+                    [a[i : i + batch_size] for a in tin],
+                    tlb[i : i + batch_size],
+                )
+            if full < m:
+                carry_in = [a[full:].copy() for a in tin]
+                carry_lb = tlb[full:].copy()
+            else:
+                carry_in = carry_lb = None
+        if carry_lb is not None:
+            yield len(carry_lb), carry_in, carry_lb
+
     def load_val(self) -> Tuple[Tuple[np.ndarray, ...], np.ndarray]:
         """The validation split, concatenated in RAM (it is ~10% of the
         data; streaming it per-epoch would re-decode every tile each eval)."""

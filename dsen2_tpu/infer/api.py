@@ -17,6 +17,7 @@ reference exactly (patch 128 / border 8 on the 10 m grid for 2x,
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Sequence, Tuple
 
@@ -271,6 +272,15 @@ def _run(
     return np.asarray(out)
 
 
+def _dihedral_static(x, code: int):
+    """dihedral_np twin for device arrays with a STATIC code (plain jnp ops,
+    no lax.switch — the 8-code ensemble loop is unrolled in Python)."""
+    y = jnp.rot90(x, code % 4, axes=(0, 1))
+    if code >= 4:
+        y = jnp.flip(y, axis=0)
+    return y
+
+
 def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
     """Geometric self-ensemble: run the pipeline on all 8 dihedral
     transforms of the input rasters, invert each prediction, average.
@@ -278,24 +288,59 @@ def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
     orientation-robust weights (augmented / multi-tile training); with
     orientation-overfit weights it can hurt (measured numbers in
     models/README.md). The reference offers nothing comparable.
-    Non-square tiles compile a second (transposed) geometry for the odd
-    rotations."""
+
+    Device-resident: the rasters are staged to HBM ONCE, the 8 dihedral
+    transforms and the running f32 mean live on device, and the host reads
+    back a single averaged mosaic (one d2h transfer instead of 8 — the
+    transfer is the bottleneck on tunneled harnesses). Non-square tiles
+    compile a second (transposed) geometry for the odd rotations.
+    `infer_cfg.output_dtype` quantization is applied ONCE to the final mean
+    (not per transform), so uint16 ensembles carry no compounded rounding.
+    Note the HBM footprint: the full f32 accumulator + one mosaic stay
+    resident, so a 10980^2 ensemble needs ~6 GB beyond the padded inputs.
+    With a multi-device mesh the per-transform mosaics are assembled on
+    host (sr_tile_sharded) and averaged there instead."""
     from dsen2_tpu.ops.dihedral import dihedral_np, inverse_code
 
-    acc = None
-    for code in range(8):
-        tr = [dihedral_np(np.asarray(r), code) for r in rasters]
-        sr = _run(tr, lr_factor, cfg, params, infer_cfg, mesh=mesh)
-        back = dihedral_np(np.asarray(sr), inverse_code[code]).astype(np.float64)
-        acc = back if acc is None else acc + back
-    mean = acc / 8.0
     out_dtype = jnp.dtype(
         infer_cfg.output_dtype if infer_cfg is not None else "float32"
     )  # np.dtype (bf16 via ml_dtypes)
-    if np.issubdtype(out_dtype, np.integer):
-        info = np.iinfo(out_dtype)
-        mean = np.clip(np.round(mean), info.min, info.max)
-    return mean.astype(out_dtype)
+
+    if mesh is not None and mesh.devices.size > 1:
+        # Sharded path: per-shard bands already land on host; average there.
+        acc = None
+        for code in range(8):
+            tr = [dihedral_np(np.asarray(r), code) for r in rasters]
+            sr = _run(tr, lr_factor, cfg, params, infer_cfg, mesh=mesh)
+            back = dihedral_np(np.asarray(sr, np.float64), inverse_code[code])
+            acc = back if acc is None else acc + back
+        mean = acc / 8.0
+        if np.issubdtype(out_dtype, np.integer):
+            info = np.iinfo(out_dtype)
+            mean = np.clip(np.round(mean), info.min, info.max)
+        return mean.astype(out_dtype)
+
+    f32_cfg = (
+        dataclasses.replace(infer_cfg, output_dtype="float32")
+        if infer_cfg is not None
+        else None
+    )
+    dev = [
+        r if isinstance(r, jax.Array)
+        else jnp.asarray(np.ascontiguousarray(np.asarray(r)), jnp.float32)
+        for r in rasters
+    ]
+    acc = None
+    for code in range(8):
+        tr = [_dihedral_static(r, code) for r in dev]
+        sr = _run(tr, lr_factor, cfg, params, f32_cfg, device_output=True)
+        back = _dihedral_static(jnp.asarray(sr, jnp.float32), inverse_code[code])
+        acc = back if acc is None else acc + back
+    mean = acc / 8.0
+    if jnp.issubdtype(out_dtype, jnp.integer):
+        info = jnp.iinfo(out_dtype)
+        mean = jnp.clip(jnp.round(mean), info.min, info.max)
+    return np.asarray(mean.astype(out_dtype))
 
 
 def dsen2_20(

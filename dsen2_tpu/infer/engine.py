@@ -46,12 +46,17 @@ def sr_banded(
     rows_per_band: patch-grid rows per band (16 rows x 112 px = 1792 output
     rows per band on the default 2x geometry).
 
-    device_output=True returns the bands as a list of (device_array, y0,
-    band_h) without any host readback — for callers that chain device work
-    or score compute without the d2h link. Beyond its API role this also
-    sidesteps a measured harness effect: the FIRST execution of the
-    one-jit full-tile program pays a multi-minute backend overhead that
-    the smaller per-band program does not."""
+    device_output=True returns the bands as a GENERATOR of (device_array,
+    y0, band_h) without any host readback — for callers that chain device
+    work or score compute without the d2h link. Band k+1 is dispatched
+    before band k is yielded, so consuming promptly keeps one band of
+    compute in flight while bounding resident output HBM to ~2 bands —
+    drain as you iterate to keep the engine's bounded-memory guarantee
+    (materializing the whole generator holds every band, i.e. the full
+    mosaic, in HBM). Beyond its API role this also sidesteps a measured
+    harness effect: the FIRST execution of the one-jit full-tile program
+    pays a multi-minute backend overhead that the smaller per-band program
+    does not."""
     if rows_per_band < 1:
         raise ValueError(f"rows_per_band must be >= 1, got {rows_per_band}")
     _validate_inputs(rasters, lr_factor, cfg, infer_cfg)
@@ -85,41 +90,43 @@ def sr_banded(
         r0 = r1
 
     out_dtype = jnp.dtype(infer_cfg.output_dtype)
-    out = None if device_output else np.empty(
-        (h10, w10, cfg.out_channels), out_dtype
-    )
-    pending: list[tuple[jax.Array, int, int]] = []
 
-    for r0, r1 in band_rows:
-        sl = slice(r0 * nx, r1 * nx)
-        band_pos = pos_all[sl].copy()
-        y_off = int(band_pos[:, 0].min())
-        band_h = int(band_pos[:, 0].max()) + interior - y_off
-        band_pos[:, 0] -= y_off
+    def band_iter():
+        """Dispatch band k+1 before yielding band k: the consumer drains a
+        finished band while the next computes (async dispatch), and at most
+        ~2 bands of output are device-resident at any time."""
+        prev = None
+        for r0, r1 in band_rows:
+            sl = slice(r0 * nx, r1 * nx)
+            band_pos = pos_all[sl].copy()
+            y_off = int(band_pos[:, 0].min())
+            band_h = int(band_pos[:, 0].max()) + interior - y_off
+            band_pos[:, 0] -= y_off
 
-        stacked = np.stack([s[sl] for s in starts_all], axis=1)
-        stacked = _pad_to_multiple(stacked, batch)
-        bpos = _pad_to_multiple(band_pos, batch)
-        nb = stacked.shape[0] // batch
+            stacked = np.stack([s[sl] for s in starts_all], axis=1)
+            stacked = _pad_to_multiple(stacked, batch)
+            bpos = _pad_to_multiple(band_pos, batch)
+            nb = stacked.shape[0] // batch
 
-        band = sr_pipeline(
-            params,
-            inputs,
-            jnp.asarray(stacked.reshape(nb, batch, len(grids), 2)),
-            jnp.asarray(bpos.reshape(nb, batch, 2)),
-            cfg=cfg,
-            infer_cfg=infer_cfg,
-            grids=grids,
-            out_hw=(band_h, w10),
-        )
-        pending.append((band, y_off, band_h))
-        # Drain the oldest band while the new one computes (async dispatch).
-        if not device_output and len(pending) > 1:
-            b, yo, bh = pending.pop(0)
-            out[yo : yo + bh] = np.asarray(b)
+            band = sr_pipeline(
+                params,
+                inputs,
+                jnp.asarray(stacked.reshape(nb, batch, len(grids), 2)),
+                jnp.asarray(bpos.reshape(nb, batch, 2)),
+                cfg=cfg,
+                infer_cfg=infer_cfg,
+                grids=grids,
+                out_hw=(band_h, w10),
+            )
+            if prev is not None:
+                yield prev
+            prev = (band, y_off, band_h)
+        if prev is not None:
+            yield prev
 
     if device_output:
-        return pending
-    for b, yo, bh in pending:
+        return band_iter()
+    out = np.empty((h10, w10, cfg.out_channels), out_dtype)
+    for b, yo, bh in band_iter():
         out[yo : yo + bh] = np.asarray(b)
     return out

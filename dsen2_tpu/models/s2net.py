@@ -99,25 +99,56 @@ def apply(
     *,
     precision: str = "highest",
     remat: bool = False,
-    use_pallas: bool = False,
+    use_pallas=False,
 ) -> jax.Array:
     """Forward pass. inputs: tuple of NHWC arrays (x10, x20_up[, x60_up]),
     all on the 10 m grid, already divided by SCALE. Returns NHWC prediction
     of cfg.out_channels bands (still divided by SCALE).
 
     use_pallas routes the residual blocks through the fused Pallas kernel
-    (dsen2_tpu.ops.pallas.resblock) — one VMEM-resident pass per block
-    instead of two HBM-bound convolutions."""
+    (dsen2_tpu.ops.pallas.resblock_chain) — one VMEM-resident pass per
+    block pair instead of HBM-bound convolutions. The kernel matches the
+    requested precision class: single-pass taps for "default", bf16x3
+    hi/lo taps for "high"; "highest" (true f32) has no Pallas path and
+    falls back to XLA with a warning. use_pallas=None means AUTO: on for
+    the precision classes where the kernel measured faster than XLA on
+    v5e (docs/PERFORMANCE.md), off otherwise."""
     prec = {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
     }[precision]
 
+    if use_pallas is None:
+        # AUTO: the chain kernel measured faster than XLA at the matched
+        # accuracy class for single-pass "default" (+18% end-to-end) and
+        # for the bf16x3 "high" class (scripts/bench_pallas.py).
+        use_pallas = precision in ("default", "high")
+
     x = jnp.concatenate(list(inputs), axis=-1)
     x = jax.nn.relu(_conv(x, params["head"]["w"], params["head"]["b"], prec))
 
     scale = jnp.asarray(cfg.residual_scale, x.dtype)
+
+    if use_pallas and precision == "highest":
+        # No true-f32 kernel path: silently degrading the requested
+        # accuracy class would be worse than losing the fusion.
+        import warnings
+
+        warnings.warn(
+            "use_pallas has no true-f32 path; precision='highest' uses "
+            "XLA convs (pass precision='high' for the bf16x3 kernel)"
+        )
+        use_pallas = False
+    pallas_passes = 3 if precision == "high" else 1
+    if use_pallas and pallas_passes == 3 and x.dtype != jnp.float32:
+        import warnings
+
+        warnings.warn(
+            "use_pallas with precision='high' needs f32 activations; "
+            "bf16 compute_dtype runs the single-pass kernel instead"
+        )
+        pallas_passes = 1
 
     if use_pallas and x.shape[1] % 2:
         # the fused kernel needs tile_rows >= 2; odd heights fall back to XLA
@@ -131,7 +162,8 @@ def apply(
         h = x.shape[1]
         # Prefer the K=2 fused CHAIN kernel (two resblocks per window DMA,
         # cross-step double buffering) — measured 110.6 TF/s f32 / 109.0
-        # bf16 vs XLA's 79.8 / 91.7 on the 18-block microbench
+        # bf16 vs XLA's 79.8 / 91.7 on the 18-block single-pass microbench,
+        # and faster than XLA Precision.HIGH at the bf16x3 class
         # (scripts/bench_pallas.py). Needs an even block count and a row
         # tile >= 8 dividing H; otherwise the single-block kernel.
         chain_tile = next((t for t in (16, 8) if h % t == 0), None)
@@ -148,10 +180,16 @@ def apply(
                     fused_resblock_chain(
                         x, p["w1"], p["b1"], p["w2"], p["b2"],
                         scale=cfg.residual_scale, tile_rows=chain_tile,
+                        passes=pallas_passes,
                     ),
                     None,
                 )
 
+        elif pallas_passes == 3:
+            # The single-block fallback kernel is single-pass only; running
+            # it would silently degrade the requested "high" class, so odd
+            # block counts / unfit row tiles take the XLA convs instead.
+            use_pallas = False
         else:
             from dsen2_tpu.ops.pallas.resblock import fused_resblock
 
@@ -166,7 +204,7 @@ def apply(
                     None,
                 )
 
-    else:
+    if not use_pallas:
 
         def block(x, p):
             t = jax.nn.relu(_conv(x, p["w1"], p["b1"], prec))

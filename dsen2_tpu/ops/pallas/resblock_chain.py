@@ -34,21 +34,52 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_resblock_chain"]
 
 
-def _conv_rows(x_pad, w, out_rows: int, width: int):
+def _dot_f32(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _split_bf16(a):
+    """Two-term bf16 decomposition: a ~= hi + lo with hi = rnd_bf16(a)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _conv_rows(x_pad, w, out_rows: int, width: int, passes: int = 1):
     """3x3 conv over a width-zero-padded row window.
     x_pad: [out_rows + 2, width + 2, C]; w: [3, 3, C, Cout] ->
-    [out_rows, width, Cout] f32."""
+    [out_rows, width, Cout] f32.
+
+    passes=1: each tap is ONE MXU dot at the operands' dtype (bf16 inputs ->
+    the single-pass 'default' accuracy class). passes=3: bf16x3 — operands
+    split into hi+lo bf16 terms and each tap computed as
+    hi*hi + lo*hi + hi*lo with f32 accumulation, the same accuracy class as
+    XLA's Precision.HIGH (~3e-5 relative; the lo*lo term is below f32
+    rounding and dropped, exactly like XLA)."""
     c_out = w.shape[-1]
     acc = jnp.zeros((out_rows * width, c_out), dtype=jnp.float32)
+    if passes == 3:
+        xh, xl = _split_bf16(x_pad.astype(jnp.float32))
+        for dy in range(3):
+            for dx in range(3):
+                wh, wl = _split_bf16(w[dy, dx].astype(jnp.float32))
+                winh = xh[dy : dy + out_rows, dx : dx + width, :].reshape(
+                    out_rows * width, -1
+                )
+                winl = xl[dy : dy + out_rows, dx : dx + width, :].reshape(
+                    out_rows * width, -1
+                )
+                acc = acc + _dot_f32(winh, wh)
+                acc = acc + _dot_f32(winl, wh)
+                acc = acc + _dot_f32(winh, wl)
+        return acc.reshape(out_rows, width, c_out)
     for dy in range(3):
         for dx in range(3):
             window = x_pad[dy : dy + out_rows, dx : dx + width, :]
-            acc = acc + jax.lax.dot_general(
-                window.reshape(out_rows * width, -1),
-                w[dy, dx],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            acc = acc + _dot_f32(window.reshape(out_rows * width, -1), w[dy, dx])
     return acc.reshape(out_rows, width, c_out)
 
 
@@ -61,6 +92,7 @@ def _mask_rows(t, start_abs, height):
 def _chain_kernel(
     x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, win, sems,
     *, k_blocks, tile_rows, height, width, scale, n_tiles, n_batch,
+    passes,
 ):
     bi = pl.program_id(0)
     ri = pl.program_id(1)
@@ -139,12 +171,12 @@ def _chain_kernel(
     rows = win_rows
     for k in range(k_blocks):
         xp = jnp.pad(cur, ((0, 0), (1, 1), (0, 0)))
-        t = _conv_rows(xp, w1_ref[k], rows - 2, width)
+        t = _conv_rows(xp, w1_ref[k], rows - 2, width, passes)
         t = jnp.maximum(t + b1_ref[k].reshape(1, 1, -1).astype(jnp.float32), 0.0)
         t = _mask_rows(t, start_abs + 1, height)
 
         tp = jnp.pad(t.astype(cur.dtype), ((0, 0), (1, 1), (0, 0)))
-        y = _conv_rows(tp, w2_ref[k], rows - 4, width)
+        y = _conv_rows(tp, w2_ref[k], rows - 4, width, passes)
         y = y + b2_ref[k].reshape(1, 1, -1).astype(jnp.float32)
 
         center = cur[2 : rows - 2, :, :].astype(jnp.float32)
@@ -157,7 +189,7 @@ def _chain_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "tile_rows", "interpret")
+    jax.jit, static_argnames=("scale", "tile_rows", "interpret", "passes")
 )
 def fused_resblock_chain(
     x: jax.Array,
@@ -169,15 +201,24 @@ def fused_resblock_chain(
     scale: float = 0.1,
     tile_rows: int = 16,
     interpret: bool = False,
+    passes: int = 1,
 ) -> jax.Array:
     """Apply K chained resblocks: x: [B, H, W, C]; w1/w2: [K, 3, 3, C, C];
     b1/b2: [K, C]. Returns the result of K sequential
     `x + scale*conv2(relu(conv1(x)))` blocks with SAME zero padding.
 
+    passes: MXU passes per tap — 1 = single bf16 pass (the 'default'
+    accuracy class), 3 = bf16x3 hi/lo decomposition (the 'high' class,
+    ~3e-5 relative vs true f32; see _conv_rows). passes=3 requires f32 x.
+
     Constraints: H % tile_rows == 0 and tile_rows >= 4*K (window slicing
     for edge tiles must stay in bounds), H >= tile_rows + 4*K when the
     grid has more than one row tile."""
     b, h, w, c = x.shape
+    if passes not in (1, 3):
+        raise ValueError(f"passes must be 1 or 3, got {passes}")
+    if passes == 3 and x.dtype != jnp.float32:
+        raise ValueError("passes=3 (the bf16x3 'high' class) requires f32 inputs")
     k_blocks = int(w1.shape[0])
     halo = 2 * k_blocks
     if h % tile_rows:
@@ -193,7 +234,7 @@ def fused_resblock_chain(
     kernel = functools.partial(
         _chain_kernel,
         k_blocks=k_blocks, tile_rows=tile_rows, height=h, width=w,
-        scale=scale, n_tiles=n_tiles, n_batch=b,
+        scale=scale, n_tiles=n_tiles, n_batch=b, passes=passes,
     )
     return pl.pallas_call(
         kernel,

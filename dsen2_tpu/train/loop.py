@@ -154,6 +154,7 @@ def fit(
     with bounded RAM, and the val split defaults to ds.load_val() when
     val_labels is None."""
     stream_ds = train_inputs if hasattr(train_inputs, "epoch_batches") else None
+    stream_val = False
     if stream_ds is not None:
         if stage_data:
             raise ValueError(
@@ -161,7 +162,10 @@ def fit(
                 "(streaming exists precisely because the data exceeds memory)"
             )
         if val_labels is None:
-            val_inputs, val_labels = stream_ds.load_val()
+            # Stream the val split tile-by-tile each epoch too (bounded
+            # RSS; same samples/batch boundaries as a concatenated load, so
+            # the val loss is identical).
+            stream_val = True
     if params is None:
         params = s2net.init_params(jax.random.PRNGKey(train_cfg.seed), cfg)
     if mesh is None and jax.device_count() > 1:
@@ -314,12 +318,21 @@ def fit(
             epoch=len(history["loss"]), extra=extra,
         )
 
+    val_producer_fn = None
+    if stream_val:
+        def val_producer_fn():
+            def produce():
+                for cnt, bin_, blb in stream_ds.val_batches(train_cfg.batch_size):
+                    yield cnt, place_batch(bin_), place_batch([blb])[0]
+
+            return produce()
+
     try:
         _epoch_loop(
             train_cfg, train_inputs, train_labels, val_inputs, val_labels,
             live, train_step, eval_step, plateau, logger, ckpt,
             n, rng, history, start_epoch, epochs, verbose, place_batch,
-            save_state, staged, stream_ds,
+            save_state, staged, stream_ds, val_producer_fn,
         )
     except KeyboardInterrupt:
         # Failure handling the reference lacks (SURVEY.md §5.3): an
@@ -398,7 +411,7 @@ def _epoch_loop(
     train_cfg, train_inputs, train_labels, val_inputs, val_labels,
     live, train_step, eval_step, plateau, logger, ckpt,
     n, rng, history, start_epoch, epochs, verbose, place_batch,
-    save_state, staged=None, stream_ds=None,
+    save_state, staged=None, stream_ds=None, val_producer_fn=None,
 ):
     params, opt_state = live["params"], live["opt_state"]
     for epoch in range(start_epoch, epochs):
@@ -420,6 +433,7 @@ def _epoch_loop(
             loss, mse_, val_loss, params, opt_state = _run_host_epoch(
                 producer, train_cfg, val_inputs, val_labels,
                 params, opt_state, train_step, eval_step, place_batch,
+                val_producer_fn,
             )
 
         new_lr = plateau.step(val_loss)
@@ -532,8 +546,11 @@ def _stream_producer(stream_ds, train_cfg, epoch, place_batch):
 def _run_host_epoch(
     producer, train_cfg, val_inputs, val_labels,
     params, opt_state, train_step, eval_step, place_batch,
+    val_producer_fn=None,
 ):
-    """One epoch fed from the host, with background double-buffering."""
+    """One epoch fed from the host, with background double-buffering.
+    val_producer_fn (streaming datasets) replaces the in-RAM val arrays
+    with a per-epoch bounded-memory batch producer."""
     losses, mses, weights = [], [], []
     for cnt, binputs, btarget in _prefetch(producer):
         params, opt_state, loss, mse_ = train_step(params, opt_state, binputs, btarget)
@@ -544,19 +561,24 @@ def _run_host_epoch(
     loss = float(np.average([float(x) for x in losses], weights=w))
     mse_ = float(np.average([float(x) for x in mses], weights=w))
 
-    n_val = val_labels.shape[0]
+    if val_producer_fn is not None:
+        val_producer = val_producer_fn()
+    else:
+        n_val = val_labels.shape[0]
 
-    def produce_val():
-        for i in range(0, n_val, train_cfg.batch_size):
-            idx = np.arange(i, min(i + train_cfg.batch_size, n_val))
-            yield (
-                len(idx),
-                place_batch([a[idx] for a in val_inputs]),
-                place_batch([val_labels[idx]])[0],
-            )
+        def produce_val():
+            for i in range(0, n_val, train_cfg.batch_size):
+                idx = np.arange(i, min(i + train_cfg.batch_size, n_val))
+                yield (
+                    len(idx),
+                    place_batch([a[idx] for a in val_inputs]),
+                    place_batch([val_labels[idx]])[0],
+                )
+
+        val_producer = produce_val()
 
     vl, vw = [], []
-    for cnt, vi, vt in _prefetch(produce_val()):
+    for cnt, vi, vt in _prefetch(val_producer):
         l, _ = eval_step(params, vi, vt)
         vl.append(float(l))
         vw.append(cnt)

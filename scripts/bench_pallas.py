@@ -47,21 +47,28 @@ def main() -> int:
     b1 = jnp.asarray(rng.standard_normal((nb, c)).astype(np.float32) * 0.1)
     b2 = jnp.asarray(rng.standard_normal((nb, c)).astype(np.float32) * 0.1)
 
-    def xla_chain(x, w1, b1, w2, b2):
+    def xla_chain(x, w1, b1, w2, b2, precision=None):
         def block(x, wb):
             cw1, cb1, cw2, cb2 = wb
             t = jax.nn.relu(jax.lax.conv_general_dilated(
                 x, cw1, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC")) + cb1)
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=precision) + cb1)
             y = jax.lax.conv_general_dilated(
                 t, cw2, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC")) + cb2
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=precision) + cb2
             return (x + 0.1 * y).astype(x.dtype), None
 
         out, _ = jax.lax.scan(block, x, (w1, b1, w2, b2))
         return out
 
     xla_jit = jax.jit(xla_chain)
+    xla_high = jax.jit(
+        lambda x, w1, b1, w2, b2: xla_chain(
+            x, w1, b1, w2, b2, precision=jax.lax.Precision.HIGH
+        )
+    )
 
     def pallas_single(x, w1, b1, w2, b2):
         for k in range(nb):
@@ -95,6 +102,10 @@ def main() -> int:
         wd = [a.astype(x.dtype) for a in (w1, b1, w2, b2)]
         print(f"--- dtype {dt} ({b}x{hw}x{hw}x{c}, {nb} blocks) ---")
         bench(f"XLA conv chain [{dt}]", xla_jit, x, *wd)
+        if dt == "f32":
+            # The bf16x3 'high' accuracy class (what the parity-default
+            # inference path runs): XLA Precision.HIGH vs passes=3 kernel.
+            bench(f"XLA conv chain HIGH bf16x3 [{dt}]", xla_high, x, *wd)
         bench(f"pallas single-block (r2 kernel) [{dt}]", pallas_single, x, *wd)
         for k in (2, 3, 6):
             if nb % k:
@@ -107,13 +118,18 @@ def main() -> int:
             tr = next((t for t in (8, 16, 32, 64, 128)
                        if t >= max(args.tile_rows, 4 * k) and hw % t == 0), hw)
 
-            def chain_fn(x, kw1=kw1, kb1=kb1, kw2=kw2, kb2=kb2, k=k, tr=tr):
+            def chain_fn(x, passes=1, kw1=kw1, kb1=kb1, kw2=kw2, kb2=kb2,
+                         k=k, tr=tr):
                 for g in range(nb // k):
                     x = fused_resblock_chain(
-                        x, kw1[g], kb1[g], kw2[g], kb2[g], tile_rows=tr)
+                        x, kw1[g], kb1[g], kw2[g], kb2[g], tile_rows=tr,
+                        passes=passes)
                 return x
 
             bench(f"pallas chain K={k} tile={tr} [{dt}]", chain_fn, x)
+            if dt == "f32":
+                bench(f"pallas chain K={k} tile={tr} bf16x3 [{dt}]",
+                      lambda x, f=chain_fn: f(x, passes=3), x)
     return 0
 
 

@@ -65,15 +65,18 @@ class TestSelfEnsemble:
         transform/inverse bookkeeping of _run_ensembled."""
         from dsen2_tpu.infer import api
 
-        def fake_run(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
-            lr = rasters[-1]
+        def fake_run(rasters, lr_factor, cfg, params, infer_cfg, mesh=None,
+                     device_output=False):
+            lr = np.asarray(rasters[-1])
             return np.kron(lr, np.ones((lr_factor, lr_factor, 1))).astype(np.float32)
 
         monkeypatch.setattr(api, "_run", fake_run)
         d10 = (rng.random((12, 20, 4)) * 100).astype(np.float32)
         d20 = (rng.random((6, 10, 6)) * 100).astype(np.float32)
         got = api._run_ensembled([d10, d20], 2, None, None, None)
-        np.testing.assert_array_equal(got, fake_run([d10, d20], 2, None, None, None))
+        np.testing.assert_allclose(
+            got, fake_run([d10, d20], 2, None, None, None), rtol=0, atol=1e-4
+        )
 
     def test_api_ensemble_runs_and_averages(self, rng, tiny_params_2x):
         """dsen2_20(ensemble=True) returns the mean of the 8 inverse-mapped
@@ -92,7 +95,9 @@ class TestSelfEnsemble:
         for c in range(8):
             sr = dsen2_20(d_np(d10, c), d_np(d20, c), params=params, infer_cfg=icfg)
             acc += d_np(sr, inverse_code[c]).astype(np.float64)
-        np.testing.assert_allclose(got, (acc / 8).astype(np.float32), rtol=0, atol=1e-4)
+        # The ensemble accumulates in f32 ON DEVICE (one readback); allow the
+        # f32-summation rounding vs this f64 host oracle (values ~2000).
+        np.testing.assert_allclose(got, (acc / 8).astype(np.float32), rtol=0, atol=0.05)
         assert got.dtype == np.float32 and np.isfinite(got).all()
 
 

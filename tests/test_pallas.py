@@ -99,6 +99,33 @@ class TestFusedChain:
         with pytest.raises(ValueError, match="tile_rows"):
             fused_resblock_chain(x, w1, b1, w2, b2, tile_rows=8, interpret=True)
 
+    @pytest.mark.parametrize("k,h,tile_rows", [(2, 32, 8), (2, 16, 16)])
+    def test_bf16x3_passes_match_f32_class(self, rng, k, h, tile_rows):
+        """passes=3 (the 'high' accuracy class) must agree with the true-f32
+        XLA chain to bf16x3 tolerance (~3e-5 relative per op) — far tighter
+        than the single-bf16-pass class (~6e-3)."""
+        from dsen2_tpu.ops.pallas.resblock_chain import fused_resblock_chain
+
+        c = 128
+        x = jnp.asarray(rng.standard_normal((2, h, 24, c)).astype(np.float32))
+        w1, b1, w2, b2 = self._params(rng, k, c)
+        want = self._want(x, w1, b1, w2, b2)
+        got = np.asarray(fused_resblock_chain(
+            x, w1, b1, w2, b2, tile_rows=tile_rows, interpret=True, passes=3
+        ))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=0, atol=5e-4 * scale)
+
+    def test_bf16x3_rejects_bf16_inputs(self, rng):
+        from dsen2_tpu.ops.pallas.resblock_chain import fused_resblock_chain
+
+        c = 128
+        x = jnp.asarray(rng.standard_normal((1, 16, 8, c))).astype(jnp.bfloat16)
+        w1, b1, w2, b2 = self._params(rng, 2, c)
+        with pytest.raises(ValueError, match="passes=3"):
+            fused_resblock_chain(x, w1, b1, w2, b2, tile_rows=16,
+                                 interpret=True, passes=3)
+
 
 def test_s2net_routes_even_models_through_chain(rng, monkeypatch):
     """use_pallas with an even block count must pair blocks through the
@@ -121,10 +148,54 @@ def test_s2net_routes_even_models_through_chain(rng, monkeypatch):
     params = s2net.init_params(jax.random.PRNGKey(3), cfg)
     x10 = jnp.asarray(rng.standard_normal((1, 32, 16, 4)).astype(np.float32))
     x20 = jnp.asarray(rng.standard_normal((1, 32, 16, 6)).astype(np.float32))
-    got = s2net.apply(params, (x10, x20), cfg, use_pallas=True)
+    # precision="default" is the kernel's single-pass class ("highest" has
+    # no Pallas path and falls back to XLA with a warning).
+    got = s2net.apply(params, (x10, x20), cfg, precision="default", use_pallas=True)
     want = s2net.apply(params, (x10, x20), cfg)
     assert calls and calls[0][0] == 2  # K=2 grouping reached the kernel
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_s2net_high_precision_routes_bf16x3_kernel(rng, monkeypatch):
+    """use_pallas + precision='high' must reach the chain kernel with
+    passes=3 (class-matched bf16x3), not the single-pass class."""
+    from dsen2_tpu.core.config import ModelConfig
+    from dsen2_tpu.models import s2net
+    from dsen2_tpu.ops.pallas import resblock_chain
+
+    seen = []
+    orig = resblock_chain.fused_resblock_chain
+
+    def spy(x, w1, b1, w2, b2, **kw):
+        seen.append(kw.get("passes", 1))
+        return orig(x, w1, b1, w2, b2, **dict(kw, interpret=True))
+
+    monkeypatch.setattr(resblock_chain, "fused_resblock_chain", spy)
+    cfg = ModelConfig(in_channels=(4, 6), num_layers=2, feature_size=32)
+    params = s2net.init_params(jax.random.PRNGKey(4), cfg)
+    x10 = jnp.asarray(rng.standard_normal((1, 32, 16, 4)).astype(np.float32))
+    x20 = jnp.asarray(rng.standard_normal((1, 32, 16, 6)).astype(np.float32))
+    got = s2net.apply(params, (x10, x20), cfg, precision="high", use_pallas=True)
+    want = s2net.apply(params, (x10, x20), cfg, precision="highest")
+    assert seen == [3]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-3)
+
+
+def test_s2net_highest_plus_pallas_warns_and_uses_xla(rng):
+    """There is no true-f32 kernel path: precision='highest' + use_pallas
+    must warn and produce the XLA-highest result exactly."""
+    from dsen2_tpu.core.config import ModelConfig
+    from dsen2_tpu.models import s2net
+
+    cfg = ModelConfig(in_channels=(4, 6), num_layers=2, feature_size=32)
+    params = s2net.init_params(jax.random.PRNGKey(5), cfg)
+    x10 = jnp.asarray(rng.standard_normal((1, 16, 8, 4)).astype(np.float32))
+    x20 = jnp.asarray(rng.standard_normal((1, 16, 8, 6)).astype(np.float32))
+    with pytest.warns(UserWarning, match="no true-f32 path"):
+        got = s2net.apply(params, (x10, x20), cfg, precision="highest",
+                          use_pallas=True)
+    want = s2net.apply(params, (x10, x20), cfg, precision="highest")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_odd_height_falls_back_to_xla(rng):
@@ -137,6 +208,7 @@ def test_odd_height_falls_back_to_xla(rng):
     x10 = jnp.asarray(rng.standard_normal((1, 9, 8, 4)).astype(np.float32))
     x20 = jnp.asarray(rng.standard_normal((1, 9, 8, 6)).astype(np.float32))
     with pytest.warns(UserWarning, match="even image height"):
-        got = s2net.apply(params, (x10, x20), cfg, use_pallas=True)
+        got = s2net.apply(params, (x10, x20), cfg, precision="default",
+                          use_pallas=True)
     want = s2net.apply(params, (x10, x20), cfg)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

@@ -101,6 +101,23 @@ class TestStreamingDataset:
         with pytest.raises(FileNotFoundError, match="val_index"):
             StreamingPatchDataset(str(tmp_path), run_60=False, scale=1.0)
 
+    def test_val_batches_match_load_val(self, ds_root):
+        """val_batches must stream exactly the load_val() sequence — same
+        samples, same order, same batch boundaries (so the evaluated val
+        loss is bit-identical to the in-RAM path)."""
+        root, _, val = ds_root
+        ds = StreamingPatchDataset(str(root), run_60=False, scale=1.0)
+        val_in, val_lb = ds.load_val()
+        seen_in, seen_lb, counts = [], [], []
+        for cnt, bin_, blb in ds.val_batches(batch_size=7):
+            assert cnt == blb.shape[0] == bin_[0].shape[0]
+            seen_in.append(bin_[0])
+            seen_lb.append(blb)
+            counts.append(cnt)
+        np.testing.assert_array_equal(np.concatenate(seen_in), val_in[0])
+        np.testing.assert_array_equal(np.concatenate(seen_lb), val_lb)
+        assert all(c == 7 for c in counts[:-1])  # carry across tiles
+
 
 class TestFitStreaming:
     def test_fit_runs_and_checkpoints(self, tmp_path):
@@ -122,6 +139,24 @@ class TestFitStreaming:
         with pytest.raises(ValueError, match="stage_data"):
             fit(cfg, TrainConfig(batch_size=8), ds, None, None, None,
                 epochs=1, verbose=False, stage_data=True)
+
+    def test_fit_streaming_val_matches_in_ram_val(self, tmp_path):
+        """fit() with val_labels=None now STREAMS the val split; its
+        history must be bit-identical to passing load_val() arrays
+        explicitly (same samples, same batch boundaries)."""
+        _write_tiles(tmp_path, [24, 18], seed=4)
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
+        tcfg = TrainConfig(lr=1e-3, batch_size=16)
+
+        ds1 = StreamingPatchDataset(str(tmp_path), run_60=False, scale=70.0)
+        _, hist_stream = fit(cfg, tcfg, ds1, None, None, None,
+                             epochs=2, verbose=False, mesh=None)
+        ds2 = StreamingPatchDataset(str(tmp_path), run_60=False, scale=70.0)
+        val_in, val_lb = ds2.load_val()
+        _, hist_ram = fit(cfg, tcfg, ds2, None, val_in, val_lb,
+                          epochs=2, verbose=False, mesh=None)
+        assert hist_stream["val_loss"] == hist_ram["val_loss"]
+        assert hist_stream["loss"] == hist_ram["loss"]
 
     def test_fit_streaming_with_augment(self, tmp_path):
         _write_tiles(tmp_path, [24], seed=3)

@@ -89,7 +89,10 @@ def main() -> None:
     params6 = s2net.init_params(jax.random.PRNGKey(1), cfg6)
     batch2 = int(os.environ.get("BENCH_BATCH2", "64"))
     batch6 = int(os.environ.get("BENCH_BATCH6", "32"))
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    # Unset -> None (InferConfig AUTO: Pallas exactly where it measured
+    # faster at the matched class); BENCH_PALLAS=1/0 forces on/off.
+    _bp = os.environ.get("BENCH_PALLAS")
+    use_pallas = None if _bp is None else _bp == "1"
     icfg2 = InferConfig(patch_size=128, border=8, batch_size=batch2,
                         precision=precision, use_pallas=use_pallas)
     icfg6 = InferConfig(patch_size=192, border=12, batch_size=batch6,
@@ -225,7 +228,11 @@ def main() -> None:
                 "n_chips": n_chips,
                 "precision": precision,
                 "banded": banded,
-                "use_pallas": use_pallas,
+                # the value the model actually resolves (None = AUTO)
+                "use_pallas": (
+                    use_pallas if use_pallas is not None
+                    else precision == "default"
+                ),
                 "deep": deep,
                 "note": "random weights (conv timing is weight-independent); "
                 "outputs scored device-resident, d2h reported separately "

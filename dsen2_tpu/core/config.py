@@ -79,10 +79,14 @@ class InferConfig:
     precision: str = "high"
     compute_dtype: str = "float32"
     # Route the residual blocks through the fused Pallas K=2 chain kernel
-    # (ops/pallas/resblock_chain.py). Accuracy class matches a single-pass
-    # conv ("default"-like); measured faster than the XLA convs at that
-    # class on v5e (scripts/bench_pallas.py). Opt-in.
-    use_pallas: bool = False
+    # (ops/pallas/resblock_chain.py). None = AUTO (the default): the kernel
+    # runs exactly where it measured faster than XLA at the matched
+    # accuracy class — precision="default" (single-pass taps, +18%
+    # end-to-end) — and stays off for "high"/"highest", where XLA won
+    # (scripts/bench_pallas.py; docs/PERFORMANCE.md). True forces it
+    # (including the class-matched bf16x3 mode for "high", measured 0.85x
+    # XLA); False forces XLA convs.
+    use_pallas: Optional[bool] = None
     # Mosaic output / readback dtype:
     #   "float32"  — the parity default.
     #   "uint16"   — rounded, clipped [0, 65535] integer reflectance: halves

@@ -109,10 +109,13 @@ def apply(
     (dsen2_tpu.ops.pallas.resblock_chain) — one VMEM-resident pass per
     block pair instead of HBM-bound convolutions. The kernel matches the
     requested precision class: single-pass taps for "default", bf16x3
-    hi/lo taps for "high"; "highest" (true f32) has no Pallas path and
-    falls back to XLA with a warning. use_pallas=None means AUTO: on for
-    the precision classes where the kernel measured faster than XLA on
-    v5e (docs/PERFORMANCE.md), off otherwise."""
+    hi/lo taps for "high" (class-correct but measured SLOWER than XLA
+    Precision.HIGH on v5e — 47.1 vs 55.2 TF/s, docs/PERFORMANCE.md —
+    honored only on an explicit use_pallas=True); "highest" (true f32)
+    has no Pallas path and falls back to XLA with a warning.
+    use_pallas=None means AUTO: on exactly where the kernel measured
+    faster than XLA at the matched class (precision="default", +18%
+    end-to-end), off otherwise."""
     prec = {
         "highest": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
@@ -120,10 +123,13 @@ def apply(
     }[precision]
 
     if use_pallas is None:
-        # AUTO: the chain kernel measured faster than XLA at the matched
-        # accuracy class for single-pass "default" (+18% end-to-end) and
-        # for the bf16x3 "high" class (scripts/bench_pallas.py).
-        use_pallas = precision in ("default", "high")
+        # AUTO: the chain kernel measured faster than XLA only at the
+        # single-pass "default" class (107.1 vs 80.9 TF/s f32 I/O, +18%
+        # end-to-end); its bf16x3 "high" mode measured 0.85x XLA-high, so
+        # auto keeps "high"/"highest" on the XLA convs
+        # (scripts/bench_pallas.py, round-4 numbers in PERFORMANCE.md).
+        # It is a TPU (Mosaic) kernel: other backends take the XLA convs.
+        use_pallas = precision == "default" and jax.default_backend() == "tpu"
 
     x = jnp.concatenate(list(inputs), axis=-1)
     x = jax.nn.relu(_conv(x, params["head"]["w"], params["head"]["b"], prec))
@@ -161,9 +167,8 @@ def apply(
     if use_pallas:
         h = x.shape[1]
         # Prefer the K=2 fused CHAIN kernel (two resblocks per window DMA,
-        # cross-step double buffering) — measured 110.6 TF/s f32 / 109.0
-        # bf16 vs XLA's 79.8 / 91.7 on the 18-block single-pass microbench,
-        # and faster than XLA Precision.HIGH at the bf16x3 class
+        # cross-step double buffering) — measured 107-113 TF/s vs XLA's
+        # 80-92 on the 18-block single-pass microbench
         # (scripts/bench_pallas.py). Needs an even block count and a row
         # tile >= 8 dividing H; otherwise the single-block kernel.
         chain_tile = next((t for t in (16, 8) if h % t == 0), None)

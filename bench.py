@@ -229,10 +229,7 @@ def main() -> None:
                 "precision": precision,
                 "banded": banded,
                 # the value the model actually resolves (None = AUTO)
-                "use_pallas": (
-                    use_pallas if use_pallas is not None
-                    else precision == "default"
-                ),
+                "use_pallas": s2net.resolve_use_pallas(use_pallas, precision),
                 "deep": deep,
                 "note": "random weights (conv timing is weight-independent); "
                 "outputs scored device-resident, d2h reported separately "

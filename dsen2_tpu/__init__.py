@@ -43,18 +43,22 @@ def _enable_persistent_compile_cache() -> None:
     uid = os.getuid() if hasattr(os, "getuid") else "u"  # no getuid on Windows
     tmp_default = os.path.join(tempfile.gettempdir(), f"dsen2_jax_cache_{uid}")
 
-    def _owned_by_me(path: str) -> bool:
+    def _private_to_me(path: str) -> bool:
+        """Owned by the current uid AND not writable by group/others —
+        entries another user could write would be deserialized as compiled
+        executables."""
         if not hasattr(os, "getuid"):
             return True  # no POSIX ownership on Windows; writability governs
         try:
-            return os.stat(path).st_uid == os.getuid()
+            st = os.stat(path)
         except OSError:
             return False
+        return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
 
     use_repo = (
         os.access(os.path.dirname(repo_default), os.W_OK)
-        and _owned_by_me(os.path.dirname(repo_default))
-        and (not os.path.exists(repo_default) or _owned_by_me(repo_default))
+        and _private_to_me(os.path.dirname(repo_default))
+        and (not os.path.exists(repo_default) or _private_to_me(repo_default))
     )
     default = repo_default if use_repo else tmp_default
     cache_dir = os.environ.get("DSEN2_TPU_COMPILE_CACHE", default)

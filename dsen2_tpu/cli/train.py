@@ -286,6 +286,13 @@ def _predict(args, cfg) -> int:
                 f"patch interior {interior} exceeds the image ({h}, {w})"
             )
         pos = recompose_positions((h, w), interior)
+        if n < len(pos):
+            # Same contract as ops/tiling.recompose: a truncated archive
+            # must raise, not save a silently partial (zero-filled) mosaic.
+            raise ValueError(
+                f"got {n} patches, grid needs {len(pos)} for image "
+                f"({h}, {w}) with interior {interior}"
+            )
         images = np.zeros((h, w, cfg.out_channels), np.float32)
         k = 0
         for batch_in in batches:

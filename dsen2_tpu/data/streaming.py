@@ -92,6 +92,20 @@ class StreamingPatchDataset:
             out.append(_to_hwc(np.asarray(arr[rows], np.float32)) / np.float32(self.scale))
         return out[:-1], out[-1]
 
+    def val_nbytes(self) -> int:
+        """Estimated bytes of the concatenated f32 validation split — what
+        load_val() would hold in RAM. Drives fit()'s stream-vs-load choice
+        (streaming re-decodes every tile each eval, so small splits load
+        once)."""
+        if not self.dsets or self.n_val == 0:
+            return 0
+        d = self.dsets[0]
+        per = 0
+        for name in self.input_names + [self.label_name]:
+            arr = np.load(os.path.join(d, name + ".npy"), mmap_mode="r")
+            per += int(np.prod(arr.shape[1:])) * 4
+        return per * self.n_val
+
     def val_batches(self, batch_size: int):
         """Yield (count, inputs list, label) batches over the validation
         split with ONE tile's val rows resident at a time (bounded RSS,

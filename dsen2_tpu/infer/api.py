@@ -33,6 +33,11 @@ from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 
 __all__ = ["dsen2_20", "dsen2_60", "sr_pipeline", "sr_tile", "build_grids"]
 
+# Host-output tiles at least this many 10 m pixels route through the banded
+# engine (readback overlap + per-band executables); the device-resident
+# ensemble reuses it to pick banded program shapes for large tiles.
+_BANDED_THRESHOLD_PX = 3000 * 3000
+
 
 def build_grids(
     shapes: Sequence[Tuple[int, ...]], lr_factor: int, infer_cfg: InferConfig
@@ -240,7 +245,10 @@ def _run(
         return sr_tile_sharded(params, rasters, lr_factor, cfg, infer_cfg, mesh)
     _validate_inputs(rasters, lr_factor, cfg, infer_cfg)
 
-    if not device_output and rasters[0].shape[0] * rasters[0].shape[1] >= 3000 * 3000:
+    if (
+        not device_output
+        and rasters[0].shape[0] * rasters[0].shape[1] >= _BANDED_THRESHOLD_PX
+    ):
         from dsen2_tpu.infer.engine import sr_banded
 
         return sr_banded(rasters, lr_factor, cfg, params, infer_cfg)
@@ -306,12 +314,20 @@ def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
         infer_cfg.output_dtype if infer_cfg is not None else "float32"
     )  # np.dtype (bf16 via ml_dtypes)
 
+    f32_cfg = (
+        dataclasses.replace(infer_cfg, output_dtype="float32")
+        if infer_cfg is not None
+        else None
+    )
+
     if mesh is not None and mesh.devices.size > 1:
-        # Sharded path: per-shard bands already land on host; average there.
+        # Sharded path: per-shard bands already land on host; accumulate
+        # f32 mosaics there and quantize once on the mean (same contract
+        # as the device path).
         acc = None
         for code in range(8):
             tr = [dihedral_np(np.asarray(r), code) for r in rasters]
-            sr = _run(tr, lr_factor, cfg, params, infer_cfg, mesh=mesh)
+            sr = _run(tr, lr_factor, cfg, params, f32_cfg, mesh=mesh)
             back = dihedral_np(np.asarray(sr, np.float64), inverse_code[code])
             acc = back if acc is None else acc + back
         mean = acc / 8.0
@@ -320,20 +336,30 @@ def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
             mean = np.clip(np.round(mean), info.min, info.max)
         return mean.astype(out_dtype)
 
-    f32_cfg = (
-        dataclasses.replace(infer_cfg, output_dtype="float32")
-        if infer_cfg is not None
-        else None
-    )
     dev = [
         r if isinstance(r, jax.Array)
         else jnp.asarray(np.ascontiguousarray(np.asarray(r)), jnp.float32)
         for r in rasters
     ]
+
+    def sr_device(tr):
+        """One transform's full mosaic, resident on device. Large tiles go
+        through the banded engine's per-band programs (much tamer backend
+        first-execution behavior than the one-jit whole-tile executable —
+        the same reason bench.py defaults to banded) and are concatenated:
+        bands are disjoint contiguous row spans covering the image."""
+        if tr[0].shape[0] * tr[0].shape[1] >= _BANDED_THRESHOLD_PX:
+            from dsen2_tpu.infer.engine import sr_banded
+
+            bands = sr_banded(tr, lr_factor, cfg, params, f32_cfg,
+                              device_output=True)
+            return jnp.concatenate([b for b, _, _ in bands], axis=0)
+        return _run(tr, lr_factor, cfg, params, f32_cfg, device_output=True)
+
     acc = None
     for code in range(8):
         tr = [_dihedral_static(r, code) for r in dev]
-        sr = _run(tr, lr_factor, cfg, params, f32_cfg, device_output=True)
+        sr = sr_device(tr)
         back = _dihedral_static(jnp.asarray(sr, jnp.float32), inverse_code[code])
         acc = back if acc is None else acc + back
     mean = acc / 8.0

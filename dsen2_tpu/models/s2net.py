@@ -34,7 +34,21 @@ from dsen2_tpu.core.config import ModelConfig
 
 Params = Dict[str, Any]
 
-__all__ = ["init_params", "apply", "param_count", "stack_block_params"]
+__all__ = [
+    "init_params", "apply", "param_count", "resolve_use_pallas",
+    "stack_block_params",
+]
+
+
+def resolve_use_pallas(use_pallas, precision: str) -> bool:
+    """Resolve the use_pallas tri-state (None = AUTO) exactly as apply()
+    does — the single source of truth, so reporting code (bench.py) cannot
+    drift from the routing. AUTO enables the fused chain kernel only where
+    it measured faster than XLA at the matched accuracy class:
+    precision="default" on a TPU backend (scripts/bench_pallas.py)."""
+    if use_pallas is None:
+        return precision == "default" and jax.default_backend() == "tpu"
+    return bool(use_pallas)
 
 
 def _he_uniform(key: jax.Array, shape: tuple[int, ...], dtype=jnp.float32) -> jax.Array:
@@ -122,14 +136,9 @@ def apply(
         "default": jax.lax.Precision.DEFAULT,
     }[precision]
 
-    if use_pallas is None:
-        # AUTO: the chain kernel measured faster than XLA only at the
-        # single-pass "default" class (107.1 vs 80.9 TF/s f32 I/O, +18%
-        # end-to-end); its bf16x3 "high" mode measured 0.85x XLA-high, so
-        # auto keeps "high"/"highest" on the XLA convs
-        # (scripts/bench_pallas.py, round-4 numbers in PERFORMANCE.md).
-        # It is a TPU (Mosaic) kernel: other backends take the XLA convs.
-        use_pallas = precision == "default" and jax.default_backend() == "tpu"
+    # None = AUTO: faster-than-XLA classes only (see resolve_use_pallas —
+    # the single source of truth; its docstring carries the measurements).
+    use_pallas = resolve_use_pallas(use_pallas, precision)
 
     x = jnp.concatenate(list(inputs), axis=-1)
     x = jax.nn.relu(_conv(x, params["head"]["w"], params["head"]["b"], prec))
@@ -194,6 +203,13 @@ def apply(
             # The single-block fallback kernel is single-pass only; running
             # it would silently degrade the requested "high" class, so odd
             # block counts / unfit row tiles take the XLA convs instead.
+            import warnings
+
+            warnings.warn(
+                "use_pallas with precision='high' needs an even block count "
+                "and a row tile of 8/16 dividing the image height; this "
+                "config falls back to XLA convs"
+            )
             use_pallas = False
         else:
             from dsen2_tpu.ops.pallas.resblock import fused_resblock

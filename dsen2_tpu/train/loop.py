@@ -26,6 +26,11 @@ from dsen2_tpu.train.nadam import nadam_keras
 
 __all__ = ["TrainState", "fit", "make_optimizer", "restore_fit_state"]
 
+# Streaming datasets: a val split up to this size is concatenated in RAM
+# once (load_val); beyond it, fit streams val batches tile-by-tile per
+# epoch (bounded RSS at the cost of re-reading the tiles each eval).
+VAL_STREAM_THRESHOLD_BYTES = 1 << 30
+
 
 @dataclasses.dataclass
 class TrainState:
@@ -162,10 +167,15 @@ def fit(
                 "(streaming exists precisely because the data exceeds memory)"
             )
         if val_labels is None:
-            # Stream the val split tile-by-tile each epoch too (bounded
-            # RSS; same samples/batch boundaries as a concatenated load, so
-            # the val loss is identical).
-            stream_val = True
+            # The val split streams tile-by-tile each epoch ONLY when a
+            # one-time concatenated load would strain host RAM — streaming
+            # re-decodes every tile each eval, so small splits load once.
+            # Batch boundaries and sample order are identical either way,
+            # so the val loss does not depend on this choice.
+            if stream_ds.val_nbytes() > VAL_STREAM_THRESHOLD_BYTES:
+                stream_val = True
+            else:
+                val_inputs, val_labels = stream_ds.load_val()
     if params is None:
         params = s2net.init_params(jax.random.PRNGKey(train_cfg.seed), cfg)
     if mesh is None and jax.device_count() > 1:

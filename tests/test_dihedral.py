@@ -78,6 +78,58 @@ class TestSelfEnsemble:
             got, fake_run([d10, d20], 2, None, None, None), rtol=0, atol=1e-4
         )
 
+    def test_api_ensemble_rectangular_scene(self, tiny_params_2x):
+        """Non-square tiles: the odd rotations run a transposed geometry on
+        device and the inverse transforms must land every pixel back —
+        checked against the host-transform oracle."""
+        from dsen2_tpu.core.config import InferConfig
+        from dsen2_tpu.infer.api import dsen2_20
+        from dsen2_tpu.ops.dihedral import dihedral_np as d_np
+
+        cfg, params = tiny_params_2x
+        icfg = InferConfig(patch_size=32, border=4, batch_size=8)
+        # local generator: keep the shared session rng's stream position
+        # independent of this test's presence
+        rng = np.random.default_rng(821)
+        d10 = (rng.random((48, 96, 4)) * 2000).astype(np.float32)
+        d20 = (rng.random((24, 48, 6)) * 2000).astype(np.float32)
+        got = dsen2_20(d10, d20, params=params, infer_cfg=icfg, ensemble=True)
+        assert got.shape == (48, 96, 6)
+        acc = np.zeros((48, 96, 6), np.float64)
+        for c in range(8):
+            sr = dsen2_20(d_np(d10, c), d_np(d20, c), params=params, infer_cfg=icfg)
+            acc += d_np(sr, inverse_code[c]).astype(np.float64)
+        np.testing.assert_allclose(got, (acc / 8).astype(np.float32), rtol=0, atol=0.05)
+
+    def test_ensemble_routes_banded_for_large_tiles(self, tiny_params_2x,
+                                                    monkeypatch):
+        """Tiles over the banded threshold must run each transform through
+        the banded engine's per-band programs (same tame-warmup rationale
+        as bench.py), with an identical result."""
+        from dsen2_tpu.core.config import InferConfig
+        from dsen2_tpu.infer import api, engine
+        from dsen2_tpu.infer.api import dsen2_20
+
+        cfg, params = tiny_params_2x
+        icfg = InferConfig(patch_size=32, border=4, batch_size=8)
+        rng = np.random.default_rng(822)
+        d10 = (rng.random((48, 48, 4)) * 2000).astype(np.float32)
+        d20 = (rng.random((24, 24, 6)) * 2000).astype(np.float32)
+        want = dsen2_20(d10, d20, params=params, infer_cfg=icfg, ensemble=True)
+
+        calls = []
+        orig = engine.sr_banded
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(engine, "sr_banded", spy)
+        monkeypatch.setattr(api, "_BANDED_THRESHOLD_PX", 1)
+        got = dsen2_20(d10, d20, params=params, infer_cfg=icfg, ensemble=True)
+        assert len(calls) == 8  # every transform took the banded path
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
+
     def test_api_ensemble_runs_and_averages(self, rng, tiny_params_2x):
         """dsen2_20(ensemble=True) returns the mean of the 8 inverse-mapped
         predictions (checked against a manual loop over the public API)."""

@@ -143,6 +143,38 @@ class TestBandedEngine:
             out[y0 : y0 + bh] = np.asarray(b)
         np.testing.assert_array_equal(out, want)
 
+    def test_device_output_is_lazy_generator(self, tiny_cfg_2x, monkeypatch):
+        """device_output=True must dispatch bands AS CONSUMED (at most one
+        band ahead), not materialize the full mosaic up front — that is the
+        bounded-HBM contract."""
+        from dsen2_tpu.infer import engine
+
+        calls = []
+        orig = engine.sr_pipeline
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(engine, "sr_pipeline", spy)
+        # local generator: the shared session rng's stream position must not
+        # depend on whether this test runs (later tests assert thresholds
+        # on data drawn from it)
+        rng = np.random.default_rng(820)
+        d10 = (rng.random((160, 96, 4)) * 8000).astype(np.float32)
+        d20 = (rng.random((80, 48, 6)) * 8000).astype(np.float32)
+        params = s2net.init_params(jax.random.PRNGKey(22), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4, precision="highest")
+        bands = engine.sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg,
+                                 rows_per_band=1, device_output=True)
+        assert calls == []  # nothing dispatched before consumption
+        first = next(bands)
+        assert len(calls) == 2  # band 0 + the prefetched band 1, no more
+        rest = list(bands)
+        total = len(calls)
+        assert len(rest) + 1 == total  # one pipeline call per band overall
+        assert first[1] == 0  # first band starts at row 0
+
     def test_flush_row_merged(self, rng, tiny_cfg_2x):
         """Image height not divisible by the interior -> the edge-flush row
         must land in the last band with last-write-wins intact."""

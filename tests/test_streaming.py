@@ -140,17 +140,24 @@ class TestFitStreaming:
             fit(cfg, TrainConfig(batch_size=8), ds, None, None, None,
                 epochs=1, verbose=False, stage_data=True)
 
-    def test_fit_streaming_val_matches_in_ram_val(self, tmp_path):
-        """fit() with val_labels=None now STREAMS the val split; its
-        history must be bit-identical to passing load_val() arrays
+    def test_fit_streaming_val_matches_in_ram_val(self, tmp_path, monkeypatch):
+        """fit() streams the val split when it exceeds the RAM threshold;
+        the history must be bit-identical to passing load_val() arrays
         explicitly (same samples, same batch boundaries)."""
+        from dsen2_tpu.train import loop as loop_mod
+
         _write_tiles(tmp_path, [24, 18], seed=4)
         cfg = ModelConfig(in_channels=(4, 6), num_layers=1, feature_size=8)
         tcfg = TrainConfig(lr=1e-3, batch_size=16)
 
+        # Force the streaming-val branch (the tiny split would otherwise
+        # take the load-once path).
+        monkeypatch.setattr(loop_mod, "VAL_STREAM_THRESHOLD_BYTES", 0)
         ds1 = StreamingPatchDataset(str(tmp_path), run_60=False, scale=70.0)
+        assert ds1.val_nbytes() > 0
         _, hist_stream = fit(cfg, tcfg, ds1, None, None, None,
                              epochs=2, verbose=False, mesh=None)
+        monkeypatch.setattr(loop_mod, "VAL_STREAM_THRESHOLD_BYTES", 1 << 30)
         ds2 = StreamingPatchDataset(str(tmp_path), run_60=False, scale=70.0)
         val_in, val_lb = ds2.load_val()
         _, hist_ram = fit(cfg, tcfg, ds2, None, val_in, val_lb,

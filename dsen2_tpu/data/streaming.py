@@ -106,19 +106,15 @@ class StreamingPatchDataset:
             per += int(np.prod(arr.shape[1:])) * 4
         return per * self.n_val
 
-    def val_batches(self, batch_size: int):
-        """Yield (count, inputs list, label) batches over the validation
-        split with ONE tile's val rows resident at a time (bounded RSS,
-        like epoch_batches) — deterministic tile/row order, so every epoch
-        evaluates the identical sequence. Batches cross tile boundaries via
-        the same remainder carry as the training stream."""
+    @staticmethod
+    def _batches_with_carry(tiles, batch_size: int):
+        """Assemble fixed-size (count, inputs list, label) batches from a
+        stream of per-tile (inputs, label) arrays, carrying remainders
+        across tile boundaries so no sample is dropped; one final short
+        batch at most."""
         carry_in: Optional[List[np.ndarray]] = None
         carry_lb: Optional[np.ndarray] = None
-        for t in range(len(self.dsets)):
-            rows = self.val_rows[t]
-            if len(rows) == 0:
-                continue
-            tin, tlb = self._load_rows(t, rows)
+        for tin, tlb in tiles:
             if carry_lb is not None:
                 tin = [np.concatenate([c, a]) for c, a in zip(carry_in, tin)]
                 tlb = np.concatenate([carry_lb, tlb])
@@ -137,6 +133,20 @@ class StreamingPatchDataset:
                 carry_in = carry_lb = None
         if carry_lb is not None:
             yield len(carry_lb), carry_in, carry_lb
+
+    def val_batches(self, batch_size: int):
+        """Yield (count, inputs list, label) batches over the validation
+        split with ONE tile's val rows resident at a time (bounded RSS,
+        like epoch_batches) — deterministic tile/row order, so every epoch
+        evaluates the identical sequence. Batches cross tile boundaries via
+        the same remainder carry as the training stream."""
+
+        def tiles():
+            for t in range(len(self.dsets)):
+                if len(self.val_rows[t]):
+                    yield self._load_rows(t, self.val_rows[t])
+
+        return self._batches_with_carry(tiles(), batch_size)
 
     def load_val(self) -> Tuple[Tuple[np.ndarray, ...], np.ndarray]:
         """The validation split, concatenated in RAM (it is ~10% of the
@@ -164,34 +174,17 @@ class StreamingPatchDataset:
         sample exactly once. Deterministic per (seed, epoch)."""
         rng = np.random.default_rng([self.seed, epoch])
         order = rng.permutation(len(self.dsets))
-        carry_in: Optional[List[np.ndarray]] = None
-        carry_lb: Optional[np.ndarray] = None
-        for t in order:
-            rows = self.train_rows[t]
-            if len(rows) == 0:
-                continue
-            perm = rng.permutation(len(rows))
-            tin, tlb = self._load_rows(t, rows)
-            tin = [a[perm] for a in tin]
-            tlb = tlb[perm]
-            if carry_lb is not None:
-                tin = [np.concatenate([c, a]) for c, a in zip(carry_in, tin)]
-                tlb = np.concatenate([carry_lb, tlb])
-            m = tlb.shape[0]
-            full = m // batch_size * batch_size
-            for i in range(0, full, batch_size):
-                yield (
-                    batch_size,
-                    [a[i : i + batch_size] for a in tin],
-                    tlb[i : i + batch_size],
-                )
-            if full < m:
-                carry_in = [a[full:].copy() for a in tin]
-                carry_lb = tlb[full:].copy()
-            else:
-                carry_in = carry_lb = None
-        if carry_lb is not None:
-            yield len(carry_lb), carry_in, carry_lb
+
+        def tiles():
+            for t in order:
+                rows = self.train_rows[t]
+                if len(rows) == 0:
+                    continue
+                perm = rng.permutation(len(rows))
+                tin, tlb = self._load_rows(t, rows)
+                yield [a[perm] for a in tin], tlb[perm]
+
+        return self._batches_with_carry(tiles(), batch_size)
 
 
 def _is_sorted(a: np.ndarray) -> bool:

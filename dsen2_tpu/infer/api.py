@@ -280,15 +280,6 @@ def _run(
     return np.asarray(out)
 
 
-def _dihedral_static(x, code: int):
-    """dihedral_np twin for device arrays with a STATIC code (plain jnp ops,
-    no lax.switch — the 8-code ensemble loop is unrolled in Python)."""
-    y = jnp.rot90(x, code % 4, axes=(0, 1))
-    if code >= 4:
-        y = jnp.flip(y, axis=0)
-    return y
-
-
 def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
     """Geometric self-ensemble: run the pipeline on all 8 dihedral
     transforms of the input rasters, invert each prediction, average.
@@ -308,7 +299,7 @@ def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
     resident, so a 10980^2 ensemble needs ~6 GB beyond the padded inputs.
     With a multi-device mesh the per-transform mosaics are assembled on
     host (sr_tile_sharded) and averaged there instead."""
-    from dsen2_tpu.ops.dihedral import dihedral_np, inverse_code
+    from dsen2_tpu.ops.dihedral import dihedral_np, dihedral_static, inverse_code
 
     out_dtype = jnp.dtype(
         infer_cfg.output_dtype if infer_cfg is not None else "float32"
@@ -358,9 +349,9 @@ def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
 
     acc = None
     for code in range(8):
-        tr = [_dihedral_static(r, code) for r in dev]
+        tr = [dihedral_static(r, code) for r in dev]
         sr = sr_device(tr)
-        back = _dihedral_static(jnp.asarray(sr, jnp.float32), inverse_code[code])
+        back = dihedral_static(jnp.asarray(sr, jnp.float32), inverse_code[code])
         acc = back if acc is None else acc + back
     mean = acc / 8.0
     if jnp.issubdtype(out_dtype, jnp.integer):

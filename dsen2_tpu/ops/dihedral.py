@@ -18,7 +18,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["dihedral", "dihedral_batch", "dihedral_np", "inverse_code"]
+__all__ = [
+    "dihedral", "dihedral_batch", "dihedral_np", "dihedral_static",
+    "inverse_code",
+]
+
+
+def dihedral_static(x: jax.Array, code: int) -> jax.Array:
+    """dihedral_np twin for device arrays with a STATIC (Python int) code —
+    plain jnp ops, no lax.switch, for loops unrolled at trace time (the
+    8-code self-ensemble)."""
+    y = jnp.rot90(x, code % 4, axes=(0, 1))
+    if code >= 4:
+        y = jnp.flip(y, axis=0)
+    return y
 
 
 def dihedral(x: jax.Array, code: jax.Array) -> jax.Array:

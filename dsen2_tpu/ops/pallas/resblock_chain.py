@@ -63,18 +63,18 @@ def _conv_rows(x_pad, w, out_rows: int, width: int, passes: int = 1):
     acc = jnp.zeros((out_rows * width, c_out), dtype=jnp.float32)
     if passes == 3:
         xh, xl = _split_bf16(x_pad.astype(jnp.float32))
+        wh, wl = _split_bf16(w.astype(jnp.float32))  # split once, not per tap
         for dy in range(3):
             for dx in range(3):
-                wh, wl = _split_bf16(w[dy, dx].astype(jnp.float32))
                 winh = xh[dy : dy + out_rows, dx : dx + width, :].reshape(
                     out_rows * width, -1
                 )
                 winl = xl[dy : dy + out_rows, dx : dx + width, :].reshape(
                     out_rows * width, -1
                 )
-                acc = acc + _dot_f32(winh, wh)
-                acc = acc + _dot_f32(winl, wh)
-                acc = acc + _dot_f32(winh, wl)
+                acc = acc + _dot_f32(winh, wh[dy, dx])
+                acc = acc + _dot_f32(winl, wh[dy, dx])
+                acc = acc + _dot_f32(winh, wl[dy, dx])
         return acc.reshape(out_rows, width, c_out)
     for dy in range(3):
         for dx in range(3):

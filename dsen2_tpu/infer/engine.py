@@ -27,6 +27,7 @@ from dsen2_tpu.infer.api import (
     _validate_inputs,
     build_grids,
     sr_pipeline,
+    stage_raster,
 )
 from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 
@@ -71,11 +72,7 @@ def sr_banded(
     ny = len(grids[0].starts_i)
     nx = n // ny
 
-    inputs = tuple(
-        r if isinstance(r, jax.Array)
-        else jnp.asarray(np.ascontiguousarray(r), jnp.float32)
-        for r in rasters
-    )
+    inputs = tuple(stage_raster(r) for r in rasters)
     batch = min(infer_cfg.batch_size, nx * min(rows_per_band, ny))
 
     # Assign grid rows to bands; the final flush row (if any) writes rows

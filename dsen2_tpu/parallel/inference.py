@@ -33,6 +33,7 @@ from jax import shard_map
 
 from dsen2_tpu.core.config import InferConfig, ModelConfig, dsen2_2x, dsen2_6x
 from dsen2_tpu.infer.api import (
+    _COMPACT_STAGE_DTYPES,
     _pad_to_multiple,
     _prepare_schedule,
     build_grids,
@@ -76,9 +77,13 @@ def sr_tiles_sharded(
 
     n_in = len(tile_inputs)
     fn = _sharded_pipeline(mesh, n_in, cfg, infer_cfg, grids, (h10, w10))
+    # Compact dtypes ship unconverted; the pipeline casts on device
+    # (infer.api.stage_raster contract — half the h2d bytes for uint16).
     tiles_dev = tuple(
         jax.device_put(
-            jnp.asarray(t, jnp.float32), NamedSharding(mesh, P(DATA_AXIS))
+            jnp.asarray(t) if np.asarray(t).dtype in _COMPACT_STAGE_DTYPES
+            else jnp.asarray(t, jnp.float32),
+            NamedSharding(mesh, P(DATA_AXIS)),
         )
         for t in tile_inputs
     )
@@ -162,9 +167,17 @@ def sr_tile_sharded(
     ]  # list per input of [ny, nx, 2]
     pos_rows = recompose_positions((h10, w10), interior).reshape(ny, nx, 2)
 
-    # Host-pad each raster once; each shard ships only its window.
+    # Host-pad each raster once; each shard ships only its window. Compact
+    # dtypes (the uint16 L1C source) stay unconverted through pad + window
+    # assembly and are cast to compute_dtype on device inside the pipeline
+    # (same contract as infer.api.stage_raster — half the h2d bytes).
+    def _stage_dtype(r):
+        dt = np.asarray(r).dtype
+        return dt if dt in _COMPACT_STAGE_DTYPES else np.dtype(np.float32)
+
     padded = [
-        np.pad(np.asarray(r, np.float32), ((g.border, g.border), (g.border, g.border), (0, 0)),
+        np.pad(np.asarray(r, _stage_dtype(r)),
+               ((g.border, g.border), (g.border, g.border), (0, 0)),
                mode="symmetric")
         for r, g in zip(rasters, grids)
     ]
@@ -216,7 +229,7 @@ def sr_tile_sharded(
         hmax = max(w1 - w0 for w0, w1 in win_rows[i])
         wpad = padded[i].shape[1]
         c = padded[i].shape[2]
-        win = np.zeros((ndev, hmax, wpad, c), np.float32)
+        win = np.zeros((ndev, hmax, wpad, c), padded[i].dtype)
         for s, (w0, w1) in enumerate(win_rows[i]):
             win[s, : w1 - w0] = padded[i][w0:w1]
         windows.append(win)

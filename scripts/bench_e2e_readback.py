@@ -52,9 +52,12 @@ def main() -> None:
     from dsen2_tpu.models import s2net
 
     rng = np.random.default_rng(0)
-    d10 = (rng.random((size, size, 4), dtype=np.float32) * 10000).astype(np.float32)
-    d20 = (rng.random((size // 2, size // 2, 6), dtype=np.float32) * 10000).astype(np.float32)
-    d60 = (rng.random((size // 6, size // 6, 2), dtype=np.float32) * 10000).astype(np.float32)
+    # uint16: the L1C source dtype — compact staging ships the integers and
+    # casts on device (infer.api.stage_raster), halving the h2d leg too.
+    in_dtype = np.dtype(os.environ.get("BENCH_INPUT_DTYPE", "uint16"))
+    d10 = (rng.random((size, size, 4), dtype=np.float32) * 10000).astype(in_dtype)
+    d20 = (rng.random((size // 2, size // 2, 6), dtype=np.float32) * 10000).astype(in_dtype)
+    d60 = (rng.random((size // 6, size // 6, 2), dtype=np.float32) * 10000).astype(in_dtype)
 
     cfg2, cfg6 = dsen2_2x(False), dsen2_6x(False)
     params2 = s2net.init_params(jax.random.PRNGKey(0), cfg2)

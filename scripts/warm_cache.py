@@ -23,7 +23,9 @@ API will look up. Run once after cloning (or after a JAX upgrade):
 
 Env: WARM_SIZE (default 10980), WARM_DEEP_SIZE (default 1830; 0 skips),
 WARM_PRECISION (default "high"), WARM_BATCH2/WARM_BATCH6 (64/32),
-WARM_ROWS_PER_BAND (default 16, the sr_banded default; 0 skips banded).
+WARM_ROWS_PER_BAND (default 16, the sr_banded default; 0 skips banded),
+WARM_INPUT_DTYPES (default "uint16,float32" — input dtype keys the HLO;
+uint16 is the compact-staging production/bench path).
 """
 
 from __future__ import annotations
@@ -44,9 +46,12 @@ def _input_shapes(lr_factor: int, size: int):
     }[lr_factor]
 
 
-def warm_one(lr_factor: int, cfg, icfg, size: int, rows_per_band: int) -> int:
+def warm_one(lr_factor: int, cfg, icfg, size: int, rows_per_band: int,
+             in_dtype="uint16") -> int:
     """Compile (cache-write or cache-hit) every pipeline program this
-    geometry can execute; returns the number of programs compiled."""
+    geometry can execute; returns the number of programs compiled.
+    in_dtype keys the compiled HLO: uint16 is the production/bench staging
+    (compact h2d, infer.api.stage_raster), float32 the legacy path."""
     import jax
     import jax.numpy as jnp
 
@@ -61,7 +66,7 @@ def warm_one(lr_factor: int, cfg, icfg, size: int, rows_per_band: int) -> int:
     params = jax.eval_shape(
         lambda k: s2net.init_params(k, cfg), jax.random.PRNGKey(0)
     )
-    inputs = tuple(jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes)
+    inputs = tuple(jax.ShapeDtypeStruct(s, jnp.dtype(in_dtype)) for s in shapes)
 
     def compile_program(starts_shape, pos_shape, out_hw):
         sr_pipeline.lower(
@@ -143,12 +148,14 @@ def main() -> int:
             batch_size=int(os.environ.get("BENCH_DEEP_BATCH", "16")),
             precision=precision), deep_size, 0))
 
+    in_dtypes = os.environ.get("WARM_INPUT_DTYPES", "uint16,float32").split(",")
     print(f"cache dir: {jax.config.jax_compilation_cache_dir}")
     for name, lr_factor, cfg, icfg, sz, rows in jobs:
-        t0 = time.time()
-        n = warm_one(lr_factor, cfg, icfg, sz, rows)
-        print(f"warmed {name} @ {sz} ({precision}): {n} programs, "
-              f"{time.time() - t0:.1f} s")
+        for in_dtype in in_dtypes:
+            t0 = time.time()
+            n = warm_one(lr_factor, cfg, icfg, sz, rows, in_dtype=in_dtype)
+            print(f"warmed {name} @ {sz} ({precision}, {in_dtype} in): "
+                  f"{n} programs, {time.time() - t0:.1f} s")
     return 0
 
 

@@ -284,6 +284,67 @@ class TestCompactReadback:
         assert np.abs(out.astype(np.float64) - want).max() <= 1.0
 
 
+class TestCompactInputStaging:
+    """uint16 L1C inputs ship to the device UNCONVERTED (half the h2d
+    bytes) and are cast to compute_dtype inside the jitted pipeline
+    (infer.api.stage_raster): every path must be bit-identical to staging
+    host-cast float32 copies of the same values."""
+
+    def _scene_u16(self, rng):
+        d10 = (rng.random((120, 108, 4)) * 12000).astype(np.uint16)
+        d20 = (rng.random((60, 54, 6)) * 12000).astype(np.uint16)
+        return d10, d20
+
+    def test_stage_raster_dtype_rules(self):
+        import jax.numpy as jnp
+
+        from dsen2_tpu.infer.api import stage_raster
+
+        u16 = np.arange(12, dtype=np.uint16).reshape(3, 4, 1)
+        assert stage_raster(u16).dtype == jnp.uint16
+        assert stage_raster(u16.astype(np.int16)).dtype == jnp.int16
+        assert stage_raster(u16.astype(np.uint8)).dtype == jnp.uint8
+        # f64 is NOT exact-in-f32: it converts on host
+        assert stage_raster(u16.astype(np.float64)).dtype == jnp.float32
+        assert stage_raster(u16.astype(np.float32)).dtype == jnp.float32
+        # device arrays pass through untouched (no copy, no cast)
+        dev = stage_raster(u16)
+        assert stage_raster(dev) is dev
+
+    def test_uint16_inputs_bit_identical_to_f32(self, rng, tiny_cfg_2x):
+        d10, d20 = self._scene_u16(rng)
+        params = s2net.init_params(jax.random.PRNGKey(21), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=64, border=8, batch_size=4, precision="highest")
+        got = _run([d10, d20], 2, tiny_cfg_2x, params, icfg)
+        want = _run([d10.astype(np.float32), d20.astype(np.float32)],
+                    2, tiny_cfg_2x, params, icfg)
+        assert got.dtype == np.float32
+        np.testing.assert_array_equal(got, want)
+
+    def test_banded_uint16_inputs_bit_identical(self, rng, tiny_cfg_2x):
+        from dsen2_tpu.infer.engine import sr_banded
+
+        d10 = (rng.random((160, 96, 4)) * 12000).astype(np.uint16)
+        d20 = (rng.random((80, 48, 6)) * 12000).astype(np.uint16)
+        params = s2net.init_params(jax.random.PRNGKey(22), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4, precision="highest")
+        got = sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg, rows_per_band=2)
+        want = sr_banded([d10.astype(np.float32), d20.astype(np.float32)],
+                         2, tiny_cfg_2x, params, icfg, rows_per_band=2)
+        np.testing.assert_array_equal(got, want)
+
+    def test_ensemble_uint16_inputs_bit_identical(self, rng, tiny_cfg_2x):
+        from dsen2_tpu.infer.api import _run_ensembled
+
+        d10, d20 = self._scene_u16(rng)
+        params = s2net.init_params(jax.random.PRNGKey(23), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=64, border=8, batch_size=4, precision="highest")
+        got = _run_ensembled([d10, d20], 2, tiny_cfg_2x, params, icfg)
+        want = _run_ensembled([d10.astype(np.float32), d20.astype(np.float32)],
+                              2, tiny_cfg_2x, params, icfg)
+        np.testing.assert_array_equal(got, want)
+
+
 class TestMetrics:
     def test_per_band_and_global(self, rng):
         from dsen2_tpu.infer.metrics import (

@@ -141,6 +141,25 @@ class TestMultiTileInference:
             want = _run([d10s[i], d20s[i]], 2, cfg, params, icfg)
             np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=0.02)
 
+    def test_sharded_tiles_uint16_inputs_bit_identical(self, rng):
+        """Compact staging on the fleet path: uint16 tile stacks ship
+        unconverted and cast on device — same bits as f32 staging."""
+        from dsen2_tpu.core.config import InferConfig
+        from dsen2_tpu.parallel.inference import sr_tiles_sharded
+
+        cfg = ModelConfig(in_channels=(4, 6), num_layers=2, feature_size=16)
+        params = s2net.init_params(jax.random.PRNGKey(0), cfg)
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4, precision="highest")
+        n = 8
+        d10s = (rng.random((n, 48, 48, 4)) * 12000).astype(np.uint16)
+        d20s = (rng.random((n, 24, 24, 6)) * 12000).astype(np.uint16)
+        mesh = make_mesh(data=8)
+        got = sr_tiles_sharded(params, [d10s, d20s], 2, cfg, icfg, mesh)
+        want = sr_tiles_sharded(
+            params, [d10s.astype(np.float32), d20s.astype(np.float32)],
+            2, cfg, icfg, mesh)
+        np.testing.assert_array_equal(got, want)
+
     def test_indivisible_batch_raises(self, rng):
         from dsen2_tpu.core.config import InferConfig
         from dsen2_tpu.parallel.inference import sr_tiles_sharded
@@ -216,6 +235,21 @@ class TestSingleTileSharded:
         np.testing.assert_array_equal(got, _run([d10, d20, d60], 6, cfg, params, icfg3))
         want = _run([d10, d20, d60], 6, cfg, params, icfg)
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=0.5)
+
+    def test_sharded_tile_uint16_inputs_bit_identical(self, rng):
+        """Compact staging on the mesh path: uint16 rasters pad + window
+        on host unconverted, cast on device — same bits as f32 staging."""
+        from dsen2_tpu.parallel.inference import sr_tile_sharded
+
+        cfg, params, icfg = self._cfg()
+        d10 = (rng.random((70, 66, 4)) * 12000).astype(np.uint16)
+        d20 = (rng.random((35, 33, 6)) * 12000).astype(np.uint16)
+        mesh = make_mesh(data=8)
+        got = sr_tile_sharded(params, [d10, d20], 2, cfg, icfg, mesh)
+        want = sr_tile_sharded(
+            params, [d10.astype(np.float32), d20.astype(np.float32)],
+            2, cfg, icfg, mesh)
+        np.testing.assert_array_equal(got, want)
 
     def test_fewer_rows_than_devices(self, rng):
         from dsen2_tpu.infer.api import _run

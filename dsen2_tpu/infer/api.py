@@ -31,7 +31,10 @@ from dsen2_tpu.models import s2net
 from dsen2_tpu.ops.resize import upsample_patches
 from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 
-__all__ = ["dsen2_20", "dsen2_60", "sr_pipeline", "sr_tile", "build_grids"]
+__all__ = [
+    "dsen2_20", "dsen2_60", "sr_pipeline", "sr_tile", "build_grids",
+    "stage_raster",
+]
 
 # Host-output tiles at least this many 10 m pixels route through the banded
 # engine (readback overlap + per-band executables); the device-resident

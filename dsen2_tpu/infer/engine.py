@@ -31,7 +31,25 @@ from dsen2_tpu.infer.api import (
 )
 from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 
-__all__ = ["sr_banded"]
+__all__ = ["plan_bands", "sr_banded"]
+
+
+def plan_bands(ny: int, rows_per_band: int):
+    """Assign the ny patch-grid rows to bands of rows_per_band rows; the
+    final flush row (if any) writes rows that overlap the previous row's
+    span, so a lone trailing row always joins the last band. SINGLE source
+    of truth for the banded program shapes — scripts/warm_cache.py mirrors
+    this plan to prime the compile cache under the exact keys sr_banded
+    will look up."""
+    band_rows = []
+    r0 = 0
+    while r0 < ny:
+        r1 = min(r0 + rows_per_band, ny)
+        if ny - r1 == 1:
+            r1 = ny
+        band_rows.append((r0, r1))
+        r0 = r1
+    return band_rows
 
 
 def sr_banded(
@@ -75,16 +93,7 @@ def sr_banded(
     inputs = tuple(stage_raster(r) for r in rasters)
     batch = min(infer_cfg.batch_size, nx * min(rows_per_band, ny))
 
-    # Assign grid rows to bands; the final flush row (if any) writes rows
-    # that overlap the previous row's span, so it always joins the last band.
-    band_rows = []
-    r0 = 0
-    while r0 < ny:
-        r1 = min(r0 + rows_per_band, ny)
-        if ny - r1 == 1:  # don't leave a lone final row
-            r1 = ny
-        band_rows.append((r0, r1))
-        r0 = r1
+    band_rows = plan_bands(ny, rows_per_band)
 
     out_dtype = jnp.dtype(infer_cfg.output_dtype)
 

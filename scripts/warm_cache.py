@@ -89,17 +89,13 @@ def warm_one(lr_factor: int, cfg, icfg, size: int, rows_per_band: int,
     # 2. the banded engine's per-band programs (infer/engine.py::sr_banded,
     #    the host-output full-tile path) — mirror its band plan exactly.
     if rows_per_band:
+        from dsen2_tpu.infer.engine import plan_bands
+
         pos_all = recompose_positions((size, size), interior)
         ny = len(grids[0].starts_i)
         nx = pos_all.shape[0] // ny
         bbatch = min(icfg.batch_size, nx * min(rows_per_band, ny))
-        band_rows, r0 = [], 0
-        while r0 < ny:
-            r1 = min(r0 + rows_per_band, ny)
-            if ny - r1 == 1:
-                r1 = ny
-            band_rows.append((r0, r1))
-            r0 = r1
+        band_rows = plan_bands(ny, rows_per_band)
         seen = set()
         for r0, r1 in band_rows:
             sl = pos_all[r0 * nx : r1 * nx]

@@ -143,6 +143,13 @@ def main() -> int:
             patch_size=128, border=8,
             batch_size=int(os.environ.get("BENCH_DEEP_BATCH", "16")),
             precision=precision), deep_size, 0))
+    if os.environ.get("WARM_DEEP_FULL", "0") == "1":
+        # The measured deep full-tile path (BENCH_DEEP_FULL=1 bench.py /
+        # docs/PERFORMANCE.md): VDSen2 through the banded engine at WARM_SIZE.
+        jobs.append(("VDSen2 2x banded", 2, dsen2_2x(True), InferConfig(
+            patch_size=128, border=8,
+            batch_size=int(os.environ.get("BENCH_DEEP_BATCH", "16")),
+            precision=precision), size, rows_per_band))
 
     in_dtypes = os.environ.get("WARM_INPUT_DTYPES", "uint16,float32").split(",")
     print(f"cache dir: {jax.config.jax_compilation_cache_dir}")

@@ -175,6 +175,66 @@ class TestBandedEngine:
         assert len(rest) + 1 == total  # one pipeline call per band overall
         assert first[1] == 0  # first band starts at row 0
 
+    def test_warm_cache_jobs_cover_engine_programs(self, rng, tiny_cfg_2x,
+                                                   monkeypatch):
+        """scripts/warm_cache.py primes the compile cache by mirroring the
+        banded engine's program shapes; if its derivation drifts, priming
+        silently turns into cache misses. Assert the program keys sr_banded
+        actually executes are a subset of the jobs warm_one compiles for
+        the same geometry."""
+        import importlib.util
+        import os
+
+        from dsen2_tpu.infer import api, engine
+
+        spec = importlib.util.spec_from_file_location(
+            "warm_cache",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "scripts", "warm_cache.py"),
+        )
+        wc = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(wc)
+
+        size, rows = 192, 2
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4,
+                           precision="highest")
+
+        engine_keys = set()
+        orig = engine.sr_pipeline
+
+        def spy(params, inputs, starts, positions, **kw):
+            engine_keys.add((
+                tuple(starts.shape), tuple(positions.shape), kw["out_hw"],
+                tuple(i.dtype.name for i in inputs),
+            ))
+            return orig(params, inputs, starts, positions, **kw)
+
+        monkeypatch.setattr(engine, "sr_pipeline", spy)
+        d10 = (rng.random((size, size, 4)) * 8000).astype(np.uint16)
+        d20 = (rng.random((size // 2, size // 2, 6)) * 8000).astype(np.uint16)
+        params = s2net.init_params(jax.random.PRNGKey(30), tiny_cfg_2x)
+        engine.sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg,
+                         rows_per_band=rows)
+
+        warm_keys = set()
+
+        class Recorder:
+            def lower(self, params, inputs, starts, positions, **kw):
+                warm_keys.add((
+                    tuple(starts.shape), tuple(positions.shape), kw["out_hw"],
+                    tuple(jax.numpy.dtype(i.dtype).name for i in inputs),
+                ))
+                return self
+
+            def compile(self):
+                return None
+
+        monkeypatch.setattr(api, "sr_pipeline", Recorder())
+        wc.warm_one(2, tiny_cfg_2x, icfg, size, rows, in_dtype="uint16")
+        assert engine_keys, "engine spy recorded nothing"
+        missing = engine_keys - warm_keys
+        assert not missing, f"engine programs not covered by warm_cache: {missing}"
+
     def test_flush_row_merged(self, rng, tiny_cfg_2x):
         """Image height not divisible by the interior -> the edge-flush row
         must land in the last band with last-write-wins intact."""

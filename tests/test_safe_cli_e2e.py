@@ -58,7 +58,9 @@ def fake_gdal(monkeypatch, rng):
     geot = (399960.0, 10.0, 0.0, 5000040.0, 0.0, -10.0)
 
     def mk(n_bands, size, descs):
-        arrs = (rng.random((n_bands, size, size)) * 8000).astype(np.float32)
+        # uint16: what real GDAL hands back for L1C JP2s — flows through
+        # safe_reader unchanged and exercises compact staging end to end
+        arrs = (rng.random((n_bands, size, size)) * 8000).astype(np.uint16)
         return FakeDataset(arrs, descs, geot)
 
     ds10 = mk(4, h10, [

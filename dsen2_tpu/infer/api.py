@@ -33,7 +33,7 @@ from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 
 __all__ = [
     "dsen2_20", "dsen2_60", "sr_pipeline", "sr_tile", "build_grids",
-    "stage_raster",
+    "stage_raster", "staging_dtype",
 ]
 
 # Host-output tiles at least this many 10 m pixels route through the banded
@@ -78,6 +78,15 @@ _COMPACT_STAGE_DTYPES = tuple(
 ) + (np.dtype(jnp.bfloat16),)
 
 
+def staging_dtype(dtype) -> np.dtype:
+    """The dtype a raster of `dtype` should cross h2d as: itself when the
+    values embed exactly in float32 (compact staging), float32 otherwise.
+    Single source of truth for every staging site (stage_raster and the
+    mesh paths in parallel/inference.py)."""
+    dt = np.dtype(dtype)
+    return dt if dt in _COMPACT_STAGE_DTYPES else np.dtype(np.float32)
+
+
 def stage_raster(r) -> jax.Array:
     """Move one host raster to device with minimal transfer bytes: dtypes
     that embed exactly in float32 ship unconverted (2 bytes/px for the
@@ -86,9 +95,7 @@ def stage_raster(r) -> jax.Array:
     if isinstance(r, jax.Array):
         return r
     a = np.ascontiguousarray(np.asarray(r))
-    if a.dtype in _COMPACT_STAGE_DTYPES:
-        return jnp.asarray(a)
-    return jnp.asarray(a, jnp.float32)
+    return jnp.asarray(a, staging_dtype(a.dtype))
 
 
 def sr_tile(

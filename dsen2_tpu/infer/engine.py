@@ -41,6 +41,8 @@ def plan_bands(ny: int, rows_per_band: int):
     of truth for the banded program shapes — scripts/warm_cache.py mirrors
     this plan to prime the compile cache under the exact keys sr_banded
     will look up."""
+    if rows_per_band < 1:
+        raise ValueError(f"rows_per_band must be >= 1, got {rows_per_band}")
     band_rows = []
     r0 = 0
     while r0 < ny:

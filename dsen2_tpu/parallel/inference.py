@@ -33,11 +33,11 @@ from jax import shard_map
 
 from dsen2_tpu.core.config import InferConfig, ModelConfig, dsen2_2x, dsen2_6x
 from dsen2_tpu.infer.api import (
-    _COMPACT_STAGE_DTYPES,
     _pad_to_multiple,
     _prepare_schedule,
     build_grids,
     sr_tile,
+    staging_dtype,
 )
 from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 from dsen2_tpu.parallel.mesh import DATA_AXIS
@@ -78,11 +78,12 @@ def sr_tiles_sharded(
     n_in = len(tile_inputs)
     fn = _sharded_pipeline(mesh, n_in, cfg, infer_cfg, grids, (h10, w10))
     # Compact dtypes ship unconverted; the pipeline casts on device
-    # (infer.api.stage_raster contract — half the h2d bytes for uint16).
+    # (infer.api.staging_dtype contract — half the h2d bytes for uint16).
+    # Read .dtype without np.asarray: a device-resident stack must not pay
+    # a d2h round trip just to learn its dtype.
     tiles_dev = tuple(
         jax.device_put(
-            jnp.asarray(t) if np.asarray(t).dtype in _COMPACT_STAGE_DTYPES
-            else jnp.asarray(t, jnp.float32),
+            jnp.asarray(t, staging_dtype(getattr(t, "dtype", np.float32))),
             NamedSharding(mesh, P(DATA_AXIS)),
         )
         for t in tile_inputs
@@ -170,13 +171,9 @@ def sr_tile_sharded(
     # Host-pad each raster once; each shard ships only its window. Compact
     # dtypes (the uint16 L1C source) stay unconverted through pad + window
     # assembly and are cast to compute_dtype on device inside the pipeline
-    # (same contract as infer.api.stage_raster — half the h2d bytes).
-    def _stage_dtype(r):
-        dt = np.asarray(r).dtype
-        return dt if dt in _COMPACT_STAGE_DTYPES else np.dtype(np.float32)
-
+    # (infer.api.staging_dtype contract — half the h2d bytes).
     padded = [
-        np.pad(np.asarray(r, _stage_dtype(r)),
+        np.pad(np.asarray(r, staging_dtype(getattr(r, "dtype", np.float32))),
                ((g.border, g.border), (g.border, g.border), (0, 0)),
                mode="symmetric")
         for r, g in zip(rasters, grids)

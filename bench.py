@@ -24,8 +24,11 @@ of 6), BENCH_PRECISION (default "high" = bf16x3, ~3e-5 relative error;
 BENCH_REPEATS (default 1 timed repeat after warmup), BENCH_BATCH2/BENCH_BATCH6
 (patch batch sizes, defaults 64/32), BENCH_BANDED (default 1: the banded
 per-band program; 0 for the one-jit whole-tile pipeline),
-BENCH_DEEP_FULL=1 (measure VDSen2 on the FULL BENCH_SIZE tile via the banded
-engine instead of the 1830^2 sub-tile extrapolation).
+BENCH_DEEP_FULL=1 (measure BOTH VDSen2 heads on the FULL BENCH_SIZE tile via
+the banded engine instead of the 1830^2 sub-tile extrapolation),
+BENCH_DEEP_BATCH/BENCH_DEEP_BATCH6 (deep patch batches, 16/8),
+BENCH_TURBO (default 1: also time one precision="default" pass — Pallas
+auto-routed — and report it as the "turbo" sub-object).
 """
 
 from __future__ import annotations
@@ -150,72 +153,145 @@ def main() -> None:
     best = min(times)
 
     # Observed host readback (tunnel-limited here; reported, not scored).
+    # Fixed ~64 MB sample so the MB/s figure is comparable across rounds
+    # (the old 1024-row sample swung 674->151 s estimates on identical code
+    # purely from tunnel weather + sample-size variance).
+    row_mb = outs[0].shape[1] * outs[0].shape[2] * 4 / 1e6
+    n_rows = min(outs[0].shape[0], max(1, int(round(64.0 / row_mb))))
     t0 = time.time()
-    sr20_host = np.asarray(outs[0][:1024])
+    sr20_host = np.asarray(outs[0][:n_rows])
     d2h_sample = time.time() - t0
     d2h_mb = sr20_host.nbytes / 1e6
     total_mb = sum(a.size * 4 for a in outs) / 1e6
     d2h_est = d2h_sample / max(d2h_mb, 1e-9) * total_mb
+    d2h_mbps = d2h_mb / max(d2h_sample, 1e-9)
     assert np.isfinite(sr20_host).all()
 
-    # VDSen2 (32 resblocks x 256 features, ~37.8 M params) — the flagship-
-    # scale model — timed device-resident on a 1/6-linear tile so the deep
-    # variant has a tracked perf artifact every round. ~21x the FLOPs/px of
-    # DSen2; extrapolated full-tile seconds reported alongside. Disable with
-    # BENCH_DEEP=0; resize with BENCH_DEEP_SIZE.
+    # Turbo row: one precision="default" timed pass (Pallas AUTO-routed where
+    # it measured faster) so the TPU-native-kernel axis lands in the driver
+    # artifact every round, not just in docs. BENCH_TURBO=0 disables.
+    turbo = None
+    if os.environ.get("BENCH_TURBO", "1") == "1" and precision != "default":
+        ticfg2 = InferConfig(patch_size=128, border=8, batch_size=batch2,
+                             precision="default", use_pallas=use_pallas)
+        ticfg6 = InferConfig(patch_size=192, border=12, batch_size=batch6,
+                             precision="default", use_pallas=use_pallas)
+        if banded:
+            def turbo_tile():
+                b60 = sr_banded([d10, d20, d60], 6, cfg6, params6, ticfg6,
+                                rows_per_band, device_output=True)
+                b20 = sr_banded([d10, d20], 2, cfg2, params2, ticfg2,
+                                rows_per_band, device_output=True)
+                return [b for b, _, _ in b20] + [b for b, _, _ in b60]
+        else:
+            def turbo_tile():
+                sr60 = _run([d10, d20, d60], 6, cfg6, params6, ticfg6,
+                            device_output=True)
+                sr20 = _run([d10, d20], 2, cfg2, params2, ticfg2,
+                            device_output=True)
+                return sr20, sr60
+
+        t0 = time.time()
+        tsum = sync(turbo_tile())
+        turbo_warm = time.time() - t0
+        assert np.isfinite(tsum), tsum
+        t0 = time.time()
+        sync(turbo_tile())
+        turbo_best = time.time() - t0
+        turbo_mps = size * size / 1e6 / turbo_best / n_chips
+        turbo = {
+            "precision": "default",
+            "use_pallas": s2net.resolve_use_pallas(use_pallas, "default"),
+            "seconds_both_nets": round(turbo_best, 3),
+            "warmup_seconds": round(turbo_warm, 3),
+            "mp_per_sec_per_chip": round(turbo_mps, 4),
+            "vs_baseline": round(
+                turbo_mps / ((10980.0 * 10980.0 / 1e6) / 60.0 / 8.0), 4
+            ),
+        }
+
+    # VDSen2 / VDSen2_60 (32 resblocks x 256 features, ~37.8 M params) — the
+    # flagship-scale models, BOTH heads — timed device-resident on a
+    # 1/6-linear tile so the deep variants have a tracked perf artifact every
+    # round. ~21x the FLOPs/px of the shallow nets; extrapolated full-tile
+    # seconds reported alongside. BENCH_DEEP=0 disables; BENCH_DEEP_SIZE
+    # resizes; BENCH_DEEP_FULL=1 measures the full BENCH_SIZE tile through
+    # the banded engine instead of extrapolating.
     deep = None
     deep_full = os.environ.get("BENCH_DEEP_FULL", "0") == "1"
     if os.environ.get("BENCH_DEEP", "1") != "0":
+        from dsen2_tpu.infer.engine import sr_banded as _sr_banded
+
         # cap at the main tile: slicing clamps silently and would otherwise
         # inflate the reported MP/s
         dsize = size if deep_full else min(
             int(os.environ.get("BENCH_DEEP_SIZE", "1830")), size
         )
+        assert dsize % 6 == 0, "BENCH_DEEP_SIZE must be a multiple of 6"
         dd10 = jax.block_until_ready(jnp.asarray(d10[:dsize, :dsize]))
         dd20 = jax.block_until_ready(jnp.asarray(d20[: dsize // 2, : dsize // 2]))
-        dcfg = dsen2_2x(True)
-        dparams = s2net.init_params(jax.random.PRNGKey(2), dcfg)
-        dicfg = InferConfig(
-            patch_size=128, border=8,
-            batch_size=int(os.environ.get("BENCH_DEEP_BATCH", "16")),
-            precision=precision, use_pallas=use_pallas,
-        )
+        dd60 = jax.block_until_ready(jnp.asarray(d60[: dsize // 6, : dsize // 6]))
 
-        if deep_full:
-            # MEASURED full-tile VDSen2 through the banded engine (the
-            # program shape a real 10980^2 deep run uses), not the sub-tile
-            # quadratic extrapolation.
-            from dsen2_tpu.infer.engine import sr_banded
-
-            def deep_checksum():
-                bands = sr_banded([dd10, dd20], 2, dcfg, dparams, dicfg,
-                                  rows_per_band=16, device_output=True)
-                return float(sum(jnp.sum(b) for b, _, _ in bands))
-        else:
-            def deep_checksum():
-                return float(jnp.sum(
-                    _run([dd10, dd20], 2, dcfg, dparams, dicfg, device_output=True)
-                ))
-
-        t0 = time.time()
-        dsum = deep_checksum()
-        deep_warm = time.time() - t0
-        assert np.isfinite(dsum), dsum
-        t0 = time.time()
-        deep_checksum()
-        deep_best = time.time() - t0
-        deep_mp = dsize * dsize / 1e6
-        deep = {
-            "model": "VDSen2 (32x256)",
-            "tile_10m_px": dsize,
-            "seconds": round(deep_best, 3),
-            "warmup_seconds": round(deep_warm, 3),
-            "mp_per_sec_per_chip": round(deep_mp / deep_best / n_chips, 4),
+        heads = {
+            "vdsen2_2x": (
+                dsen2_2x(True), [dd10, dd20], 2,
+                InferConfig(
+                    patch_size=128, border=8,
+                    batch_size=int(os.environ.get("BENCH_DEEP_BATCH", "16")),
+                    precision=precision, use_pallas=use_pallas,
+                ),
+            ),
+            "vdsen2_60": (
+                dsen2_6x(True), [dd10, dd20, dd60], 6,
+                InferConfig(
+                    patch_size=192, border=12,
+                    batch_size=int(os.environ.get("BENCH_DEEP_BATCH6", "8")),
+                    precision=precision, use_pallas=use_pallas,
+                ),
+            ),
         }
-        if deep_full:
-            deep["full_tile_seconds"] = round(deep_best, 1)
-        else:
-            deep["est_full_tile_seconds"] = round(deep_best * (size / dsize) ** 2, 1)
+        deep = {}
+        for hname, (dcfg, dins, dlr, dicfg) in heads.items():
+            dparams = s2net.init_params(jax.random.PRNGKey(2), dcfg)
+
+            if deep_full:
+                # MEASURED full-tile through the banded engine (the program
+                # shape a real 10980^2 deep run uses), not the sub-tile
+                # quadratic extrapolation.
+                def deep_checksum(dins=dins, dlr=dlr, dcfg=dcfg,
+                                  dparams=dparams, dicfg=dicfg):
+                    bands = _sr_banded(dins, dlr, dcfg, dparams, dicfg,
+                                       rows_per_band=16, device_output=True)
+                    return float(sum(jnp.sum(b) for b, _, _ in bands))
+            else:
+                def deep_checksum(dins=dins, dlr=dlr, dcfg=dcfg,
+                                  dparams=dparams, dicfg=dicfg):
+                    return float(jnp.sum(
+                        _run(dins, dlr, dcfg, dparams, dicfg, device_output=True)
+                    ))
+
+            t0 = time.time()
+            dsum = deep_checksum()
+            deep_warm = time.time() - t0
+            assert np.isfinite(dsum), dsum
+            t0 = time.time()
+            deep_checksum()
+            deep_best = time.time() - t0
+            deep_mp = dsize * dsize / 1e6
+            head = {
+                "model": f"{'VDSen2' if dlr == 2 else 'VDSen2_60'} (32x256)",
+                "tile_10m_px": dsize,
+                "seconds": round(deep_best, 3),
+                "warmup_seconds": round(deep_warm, 3),
+                "mp_per_sec_per_chip": round(deep_mp / deep_best / n_chips, 4),
+            }
+            if deep_full:
+                head["full_tile_seconds"] = round(deep_best, 1)
+            else:
+                head["est_full_tile_seconds"] = round(
+                    deep_best * (size / dsize) ** 2, 1
+                )
+            deep[hname] = head
 
     out_mp = (size * size) / 1e6
     value = out_mp / best / n_chips
@@ -233,11 +309,14 @@ def main() -> None:
                 "device_claim_seconds": round(device_claim_seconds, 3),
                 "h2d_seconds": round(h2d_seconds, 3),
                 "d2h_seconds_est": round(d2h_est, 3),
+                "d2h_mbps_sample": round(d2h_mbps, 2),
+                "d2h_sample_mb": round(d2h_mb, 1),
                 "n_chips": n_chips,
                 "precision": precision,
                 "banded": banded,
                 # the value the model actually resolves (None = AUTO)
                 "use_pallas": s2net.resolve_use_pallas(use_pallas, precision),
+                "turbo": turbo,
                 "deep": deep,
                 "note": "random weights (conv timing is weight-independent); "
                 "outputs scored device-resident, d2h reported separately "

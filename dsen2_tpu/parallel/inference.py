@@ -42,6 +42,18 @@ from dsen2_tpu.infer.api import (
 from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 from dsen2_tpu.parallel.mesh import DATA_AXIS
 
+
+def _stack_dtype(t):
+    """Staging dtype for a tile stack WITHOUT forcing a device round trip:
+    device/ndarray stacks answer via .dtype; anything else (e.g. a plain
+    list of uint16 arrays) is probed through its elements so compact
+    staging is never silently lost to a float32 fallback."""
+    dt = getattr(t, "dtype", None)
+    if dt is None:
+        elem = t[0] if len(t) else np.float32
+        dt = getattr(elem, "dtype", np.dtype(np.float32))
+    return staging_dtype(dt)
+
 __all__ = [
     "sr_tiles_sharded",
     "sr_tile_sharded",
@@ -83,7 +95,7 @@ def sr_tiles_sharded(
     # a d2h round trip just to learn its dtype.
     tiles_dev = tuple(
         jax.device_put(
-            jnp.asarray(t, staging_dtype(getattr(t, "dtype", np.float32))),
+            jnp.asarray(t, _stack_dtype(t)),
             NamedSharding(mesh, P(DATA_AXIS)),
         )
         for t in tile_inputs
@@ -173,7 +185,7 @@ def sr_tile_sharded(
     # assembly and are cast to compute_dtype on device inside the pipeline
     # (infer.api.staging_dtype contract — half the h2d bytes).
     padded = [
-        np.pad(np.asarray(r, staging_dtype(getattr(r, "dtype", np.float32))),
+        np.pad(np.asarray(r, staging_dtype(np.asarray(r).dtype)),
                ((g.border, g.border), (g.border, g.border), (0, 0)),
                mode="symmetric")
         for r, g in zip(rasters, grids)

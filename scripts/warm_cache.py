@@ -51,7 +51,10 @@ def warm_one(lr_factor: int, cfg, icfg, size: int, rows_per_band: int,
     """Compile (cache-write or cache-hit) every pipeline program this
     geometry can execute; returns the number of programs compiled.
     in_dtype keys the compiled HLO: uint16 is the production/bench staging
-    (compact h2d, infer.api.stage_raster), float32 the legacy path."""
+    (compact h2d, infer.api.stage_raster), float32 the legacy path. One
+    in_dtype applies to ALL input rasters — a caller feeding MIXED dtypes
+    (e.g. f32 d10 with uint16 d20) compiles under a different HLO key and
+    bypasses this cache (cold compile on first use)."""
     import jax
     import jax.numpy as jnp
 
@@ -138,20 +141,31 @@ def main() -> int:
             batch_size=int(os.environ.get("WARM_BATCH6", "32")),
             precision=precision), size, rows_per_band),
     ]
+    deep_icfg2 = InferConfig(
+        patch_size=128, border=8,
+        batch_size=int(os.environ.get("BENCH_DEEP_BATCH", "16")),
+        precision=precision)
+    deep_icfg6 = InferConfig(
+        patch_size=192, border=12,
+        batch_size=int(os.environ.get("BENCH_DEEP_BATCH6", "8")),
+        precision=precision)
     if deep_size:
-        jobs.append(("VDSen2 2x", 2, dsen2_2x(True), InferConfig(
-            patch_size=128, border=8,
-            batch_size=int(os.environ.get("BENCH_DEEP_BATCH", "16")),
-            precision=precision), deep_size, 0))
+        jobs.append(("VDSen2 2x", 2, dsen2_2x(True), deep_icfg2, deep_size, 0))
+        jobs.append(("VDSen2_60 6x", 6, dsen2_6x(True), deep_icfg6, deep_size, 0))
     if os.environ.get("WARM_DEEP_FULL", "0") == "1":
         # The measured deep full-tile path (BENCH_DEEP_FULL=1 bench.py /
-        # docs/PERFORMANCE.md): VDSen2 through the banded engine at WARM_SIZE.
-        jobs.append(("VDSen2 2x banded", 2, dsen2_2x(True), InferConfig(
-            patch_size=128, border=8,
-            batch_size=int(os.environ.get("BENCH_DEEP_BATCH", "16")),
-            precision=precision), size, rows_per_band))
+        # docs/PERFORMANCE.md): both VDSen2 heads through the banded engine
+        # at WARM_SIZE.
+        jobs.append(("VDSen2 2x banded", 2, dsen2_2x(True), deep_icfg2,
+                     size, rows_per_band))
+        jobs.append(("VDSen2_60 6x banded", 6, dsen2_6x(True), deep_icfg6,
+                     size, rows_per_band))
 
-    in_dtypes = os.environ.get("WARM_INPUT_DTYPES", "uint16,float32").split(",")
+    in_dtypes = [
+        t.strip()
+        for t in os.environ.get("WARM_INPUT_DTYPES", "uint16,float32").split(",")
+        if t.strip()
+    ]
     print(f"cache dir: {jax.config.jax_compilation_cache_dir}")
     for name, lr_factor, cfg, icfg, sz, rows in jobs:
         for in_dtype in in_dtypes:

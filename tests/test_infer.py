@@ -381,6 +381,19 @@ class TestCompactInputStaging:
         assert got.dtype == np.float32
         np.testing.assert_array_equal(got, want)
 
+    def test_uint16_bf16_compute_bit_identical_to_f32_staging(self, rng, tiny_cfg_2x):
+        """With compute_dtype='bfloat16' the compact path casts uint16->bf16
+        ON DEVICE instead of via host f32; u16->f32 is exact, so the two
+        staging routes must still agree bit-for-bit."""
+        d10, d20 = self._scene_u16(rng)
+        params = s2net.init_params(jax.random.PRNGKey(24), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=64, border=8, batch_size=4,
+                           precision="default", compute_dtype="bfloat16")
+        got = _run([d10, d20], 2, tiny_cfg_2x, params, icfg)
+        want = _run([d10.astype(np.float32), d20.astype(np.float32)],
+                    2, tiny_cfg_2x, params, icfg)
+        np.testing.assert_array_equal(got, want)
+
     def test_banded_uint16_inputs_bit_identical(self, rng, tiny_cfg_2x):
         from dsen2_tpu.infer.engine import sr_banded
 

@@ -309,6 +309,45 @@ def _run(
     return np.asarray(out)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "f"), donate_argnums=(0,))
+def _ens_add_band(acc, stripe, idx, *, k, f):
+    """Add one band of a dihedral-transformed SR mosaic into the
+    output-space f32 accumulator. The band covers rows [y0, y0+h) of the
+    TRANSFORMED mosaic; under the inverse transform it lands as a
+    contiguous row-stripe (k even) or column-stripe (k odd) of output
+    space, so no full per-transform mosaic is ever materialized. `idx` is
+    the stripe's start row/column (traced, so every band of the same shape
+    reuses one compiled program); k/f encode the forward transform
+    (ops/dihedral.py: k quarter-turns then flip along axis 0 iff f)."""
+    s = jnp.flip(stripe, axis=0) if f else stripe
+    s = s.astype(jnp.float32)
+    # Inverse transform = rot90(.., -k) after undoing the flip; applied to
+    # the stripe it is a +/-90/180 rotation of the stripe content.
+    content = jnp.rot90(s, -k, axes=(0, 1))
+    zero = jnp.zeros((), idx.dtype)
+    start = (idx, zero, zero) if k % 2 == 0 else (zero, idx, zero)
+    cur = jax.lax.dynamic_slice(acc, start, content.shape)
+    return jax.lax.dynamic_update_slice(acc, cur + content, start)
+
+
+def _ens_accumulate_bands(acc, bands, code):
+    """Fold one dihedral transform's banded SR output into the accumulator,
+    band by band (bounded HBM: the accumulator + at most ~2 in-flight bands
+    are resident — never a full transformed mosaic). bands: iterable of
+    (device_array, y0, band_h) in the TRANSFORMED mosaic's row space."""
+    k, f = code % 4, code >= 4
+    h_out, w_out = acc.shape[:2]
+    rows_tr = h_out if k % 2 == 0 else w_out  # rows of the transformed mosaic
+    for band, y0, h in bands:
+        a = rows_tr - y0 - h if f else y0  # stripe start after un-flipping
+        # After rot90(.., -k) the stripe starts at:
+        #   k=0: row a    k=1: col rows_tr-a-h    k=2: row rows_tr-a-h
+        #   k=3: col a
+        idx = a if k in (0, 3) else rows_tr - a - h
+        acc = _ens_add_band(acc, band, jnp.asarray(idx, jnp.int32), k=k, f=f)
+    return acc
+
+
 def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
     """Geometric self-ensemble: run the pipeline on all 8 dihedral
     transforms of the input rasters, invert each prediction, average.
@@ -318,16 +357,22 @@ def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
     models/README.md). The reference offers nothing comparable.
 
     Device-resident: the rasters are staged to HBM ONCE, the 8 dihedral
-    transforms and the running f32 mean live on device, and the host reads
+    transforms and the running f32 sum live on device, and the host reads
     back a single averaged mosaic (one d2h transfer instead of 8 — the
     transfer is the bottleneck on tunneled harnesses). Non-square tiles
     compile a second (transposed) geometry for the odd rotations.
     `infer_cfg.output_dtype` quantization is applied ONCE to the final mean
     (not per transform), so uint16 ensembles carry no compounded rounding.
-    Note the HBM footprint: the full f32 accumulator + one mosaic stay
-    resident, so a 10980^2 ensemble needs ~6 GB beyond the padded inputs.
-    With a multi-device mesh the per-transform mosaics are assembled on
-    host (sr_tile_sharded) and averaged there instead."""
+
+    HBM is bounded at production scale: large tiles run the banded engine
+    and every band is folded straight into the f32 accumulator
+    (_ens_accumulate_bands) — resident extras are the accumulator
+    (H*W*C_out*4 B: ~2.9 GB for a 10980^2 2x run, ~0.96 GB for 6x) plus
+    ~2 in-flight bands and one transformed input copy; no per-transform
+    full mosaic exists at any point. Measured full-tile numbers:
+    docs/PERFORMANCE.md §Self-ensemble. With a multi-device mesh the
+    per-transform mosaics are assembled on host (sr_tile_sharded) and
+    averaged there instead."""
     from dsen2_tpu.ops.dihedral import dihedral_np, dihedral_static, inverse_code
 
     out_dtype = jnp.dtype(
@@ -341,43 +386,56 @@ def _run_ensembled(rasters, lr_factor, cfg, params, infer_cfg, mesh=None):
     )
 
     if mesh is not None and mesh.devices.size > 1:
-        # Sharded path: per-shard bands already land on host; accumulate
-        # f32 mosaics there and quantize once on the mean (same contract
-        # as the device path).
-        acc = None
+        # Sharded path, device-resident: each transform's per-shard output
+        # bands stay on the mesh and fold into the f32 accumulator through
+        # the same stripe math as the banded single-device path (a shard's
+        # band IS a row band of the transformed mosaic), so the host reads
+        # back ONE averaged mosaic instead of 8 (inputs are transformed on
+        # host — the window decomposition is orientation-dependent).
+        from dsen2_tpu.parallel.inference import sr_tile_sharded
+
+        h10, w10 = rasters[0].shape[:2]
+        acc = jnp.zeros((h10, w10, cfg.out_channels), jnp.float32)
         for code in range(8):
             tr = [dihedral_np(np.asarray(r), code) for r in rasters]
-            sr = _run(tr, lr_factor, cfg, params, f32_cfg, mesh=mesh)
-            back = dihedral_np(np.asarray(sr, np.float64), inverse_code[code])
-            acc = back if acc is None else acc + back
+            result, band_meta = sr_tile_sharded(
+                params, tr, lr_factor, cfg, f32_cfg, mesh, device_result=True
+            )
+            bands = (
+                (result[s, :h], y0, h)
+                for s, (y0, h) in enumerate(band_meta)
+                if h
+            )
+            acc = _ens_accumulate_bands(acc, bands, code)
         mean = acc / 8.0
-        if np.issubdtype(out_dtype, np.integer):
-            info = np.iinfo(out_dtype)
-            mean = np.clip(np.round(mean), info.min, info.max)
-        return mean.astype(out_dtype)
+        if jnp.issubdtype(out_dtype, jnp.integer):
+            info = jnp.iinfo(out_dtype)
+            mean = jnp.clip(jnp.round(mean), info.min, info.max)
+        return np.asarray(mean.astype(out_dtype))
 
     dev = [stage_raster(r) for r in rasters]
+    h10, w10 = int(dev[0].shape[0]), int(dev[0].shape[1])
+    large = h10 * w10 >= _BANDED_THRESHOLD_PX
 
-    def sr_device(tr):
-        """One transform's full mosaic, resident on device. Large tiles go
-        through the banded engine's per-band programs (much tamer backend
-        first-execution behavior than the one-jit whole-tile executable —
-        the same reason bench.py defaults to banded) and are concatenated:
-        bands are disjoint contiguous row spans covering the image."""
-        if tr[0].shape[0] * tr[0].shape[1] >= _BANDED_THRESHOLD_PX:
+    acc = (
+        jnp.zeros((h10, w10, cfg.out_channels), jnp.float32) if large else None
+    )
+    for code in range(8):
+        tr = [dihedral_static(r, code) for r in dev]
+        if large:
+            # Banded per-band programs (tamer first execution than the
+            # one-jit whole-tile executable — same reason bench.py defaults
+            # to banded), folded into the accumulator as produced.
             from dsen2_tpu.infer.engine import sr_banded
 
             bands = sr_banded(tr, lr_factor, cfg, params, f32_cfg,
                               device_output=True)
-            return jnp.concatenate([b for b, _, _ in bands], axis=0)
-        return _run(tr, lr_factor, cfg, params, f32_cfg, device_output=True)
-
-    acc = None
-    for code in range(8):
-        tr = [dihedral_static(r, code) for r in dev]
-        sr = sr_device(tr)
-        back = dihedral_static(jnp.asarray(sr, jnp.float32), inverse_code[code])
-        acc = back if acc is None else acc + back
+            acc = _ens_accumulate_bands(acc, bands, code)
+        else:
+            sr = _run(tr, lr_factor, cfg, params, f32_cfg, device_output=True)
+            back = dihedral_static(jnp.asarray(sr, jnp.float32),
+                                   inverse_code[code])
+            acc = back if acc is None else acc + back
     mean = acc / 8.0
     if jnp.issubdtype(out_dtype, jnp.integer):
         info = jnp.iinfo(out_dtype)

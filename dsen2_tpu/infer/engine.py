@@ -8,6 +8,20 @@ while band i+1 computes (JAX dispatch is async, so the readback of a
 finished band overlaps the next band's execution). Peak HBM for outputs
 drops from the full mosaic to one band.
 
+INPUT staging overlaps too (SURVEY.md §2.3's "async prefetch +
+double-buffered host->HBM pipeline", the TPU-native equivalent of the
+reference's incremental GDAL band reads, testing/s2_tiles_supres.py:311-329):
+when the rasters arrive as host arrays, each band's pipeline receives only
+its own input WINDOW (the band's patch rows plus their symmetric halo,
+shipped in the compact staging dtype), and a one-worker staging thread
+builds + ships windows `stage_lookahead` bands ahead of the band that needs
+them. The serial whole-raster h2d prefix disappears: band 0 starts after
+one window transfer (~1/40 of the tile), and every later window crosses
+h2d while earlier bands compute. Peak input HBM drops from the full padded
+rasters to ~(lookahead+2) windows. Callers that pass device-resident
+rasters (the self-ensemble, bench.py) keep the whole-raster path — inputs
+are already in HBM, so there is nothing to overlap.
+
 Band boundaries need no halo exchange: every patch already carries its own
 halo from the padded input, and grid rows write disjoint output rows —
 except the final edge-flush row, which is merged into the last band
@@ -15,6 +29,7 @@ except the final edge-flush row, which is merged into the last band
 
 from __future__ import annotations
 
+import concurrent.futures
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -28,10 +43,11 @@ from dsen2_tpu.infer.api import (
     build_grids,
     sr_pipeline,
     stage_raster,
+    staging_dtype,
 )
 from dsen2_tpu.ops.tiling import PatchGrid, recompose_positions
 
-__all__ = ["plan_bands", "sr_banded"]
+__all__ = ["plan_bands", "sr_banded", "band_window_rows"]
 
 
 def plan_bands(ny: int, rows_per_band: int):
@@ -54,6 +70,32 @@ def plan_bands(ny: int, rows_per_band: int):
     return band_rows
 
 
+def band_window_rows(grid: PatchGrid, r0: int, r1: int) -> Tuple[int, int]:
+    """Padded-coordinate row span [w0, w1) of the input window that covers
+    grid rows r0..r1-1 on this raster: from the first row's patch start to
+    the last row's patch end. Shared between sr_banded's streaming stager
+    and scripts/warm_cache.py (window height keys the compiled HLO)."""
+    starts = grid.starts_i
+    return starts[r0], starts[r1 - 1] + grid.patch
+
+
+def _stage_window(raster: np.ndarray, grid: PatchGrid, w0: int, w1: int) -> jax.Array:
+    """Build one band's input window on host — unpadded rows [w0-b, w1-b)
+    with the symmetric halo regenerated at the image's top/bottom edges and
+    along the columns — and ship it in the compact staging dtype
+    (jax.device_put is async: the transfer overlaps whatever the device is
+    executing). Identical bytes to np.pad(whole_raster)[w0:w1]: interior
+    windows never touch the reflected edge rows, and edge windows reflect
+    the same rows the whole-raster pad would."""
+    b = grid.border
+    lo, hi = max(0, w0 - b), min(grid.height, w1 - b)
+    top, bot = lo - (w0 - b), (w1 - b) - hi
+    sl = np.ascontiguousarray(raster[lo:hi])
+    sl = sl.astype(staging_dtype(sl.dtype), copy=False)
+    win = np.pad(sl, ((top, bot), (b, b), (0, 0)), mode="symmetric")
+    return jax.device_put(win)
+
+
 def sr_banded(
     rasters: Sequence[np.ndarray],
     lr_factor: int,
@@ -62,10 +104,14 @@ def sr_banded(
     infer_cfg: InferConfig,
     rows_per_band: int = 16,
     device_output: bool = False,
+    stage_lookahead: int = 2,
 ):
-    """Like infer.api._run but banded. rasters: finest-first HWC numpy.
-    rows_per_band: patch-grid rows per band (16 rows x 112 px = 1792 output
-    rows per band on the default 2x geometry).
+    """Like infer.api._run but banded. rasters: finest-first HWC numpy (or
+    device arrays). rows_per_band: patch-grid rows per band (16 rows x
+    112 px = 1792 output rows per band on the default 2x geometry).
+    stage_lookahead: how many bands ahead the input-window stager runs when
+    the rasters are host arrays (0 = stage each band's window just-in-time,
+    still off the critical thread).
 
     device_output=True returns the bands as a GENERATOR of (device_array,
     y0, band_h) without any host readback — for callers that chain device
@@ -92,45 +138,96 @@ def sr_banded(
     ny = len(grids[0].starts_i)
     nx = n // ny
 
-    inputs = tuple(stage_raster(r) for r in rasters)
+    # Host rasters stream per-band windows (h2d overlaps compute); device
+    # rasters are already in HBM — gather from the whole padded raster.
+    windowed = all(not isinstance(r, jax.Array) for r in rasters)
+    if windowed:
+        host = [np.asarray(r) for r in rasters]
+    else:
+        inputs = tuple(stage_raster(r) for r in rasters)
     batch = min(infer_cfg.batch_size, nx * min(rows_per_band, ny))
 
     band_rows = plan_bands(ny, rows_per_band)
 
     out_dtype = jnp.dtype(infer_cfg.output_dtype)
 
+    def make_band(k):
+        """Host-side schedule for band k; in windowed mode also builds and
+        ships the band's input windows (runs on the stager thread)."""
+        r0, r1 = band_rows[k]
+        sl = slice(r0 * nx, r1 * nx)
+        band_pos = pos_all[sl].copy()
+        y_off = int(band_pos[:, 0].min())
+        band_h = int(band_pos[:, 0].max()) + interior - y_off
+        band_pos[:, 0] -= y_off
+
+        if windowed:
+            wins, shifted = [], []
+            for r, g, s in zip(host, grids, starts_all):
+                w0, w1 = band_window_rows(g, r0, r1)
+                wins.append(_stage_window(r, g, w0, w1))
+                shifted.append(s[sl] - np.asarray([w0, 0], s.dtype))
+            band_inputs = tuple(wins)
+            stacked = np.stack(shifted, axis=1)
+        else:
+            band_inputs = inputs
+            stacked = np.stack([s[sl] for s in starts_all], axis=1)
+
+        stacked = _pad_to_multiple(stacked, batch)
+        bpos = _pad_to_multiple(band_pos, batch)
+        nb = stacked.shape[0] // batch
+        return (
+            band_inputs,
+            jnp.asarray(stacked.reshape(nb, batch, len(grids), 2)),
+            jnp.asarray(bpos.reshape(nb, batch, 2)),
+            y_off,
+            band_h,
+        )
+
     def band_iter():
         """Dispatch band k+1 before yielding band k: the consumer drains a
         finished band while the next computes (async dispatch), and at most
-        ~2 bands of output are device-resident at any time."""
-        prev = None
-        for r0, r1 in band_rows:
-            sl = slice(r0 * nx, r1 * nx)
-            band_pos = pos_all[sl].copy()
-            y_off = int(band_pos[:, 0].min())
-            band_h = int(band_pos[:, 0].max()) + interior - y_off
-            band_pos[:, 0] -= y_off
-
-            stacked = np.stack([s[sl] for s in starts_all], axis=1)
-            stacked = _pad_to_multiple(stacked, batch)
-            bpos = _pad_to_multiple(band_pos, batch)
-            nb = stacked.shape[0] // batch
-
-            band = sr_pipeline(
-                params,
-                inputs,
-                jnp.asarray(stacked.reshape(nb, batch, len(grids), 2)),
-                jnp.asarray(bpos.reshape(nb, batch, 2)),
-                cfg=cfg,
-                infer_cfg=infer_cfg,
-                grids=grids,
-                out_hw=(band_h, w10),
-            )
+        ~2 bands of output are device-resident at any time. In windowed
+        mode a one-worker thread stages input windows `stage_lookahead`
+        bands ahead, so window h2d crosses the link while earlier bands
+        compute and the consumer reads back."""
+        nband = len(band_rows)
+        lookahead = max(0, stage_lookahead) if windowed else 0
+        pool = (
+            concurrent.futures.ThreadPoolExecutor(max_workers=1)
+            if windowed
+            else None
+        )
+        try:
+            pending = []
+            prev = None
+            submit = pool.submit if pool is not None else None
+            for k in range(nband):
+                if pool is not None:
+                    while len(pending) <= lookahead and k + len(pending) < nband:
+                        pending.append(submit(make_band, k + len(pending)))
+                    band_inputs, st, ps, y_off, band_h = pending.pop(0).result()
+                else:
+                    band_inputs, st, ps, y_off, band_h = make_band(k)
+                band = sr_pipeline(
+                    params,
+                    band_inputs,
+                    st,
+                    ps,
+                    cfg=cfg,
+                    infer_cfg=infer_cfg,
+                    grids=grids,
+                    out_hw=(band_h, w10),
+                    pad_inputs=not windowed,
+                )
+                if prev is not None:
+                    yield prev
+                prev = (band, y_off, band_h)
             if prev is not None:
                 yield prev
-            prev = (band, y_off, band_h)
-        if prev is not None:
-            yield prev
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     if device_output:
         return band_iter()

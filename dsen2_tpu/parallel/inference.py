@@ -154,12 +154,20 @@ def sr_tile_sharded(
     cfg: ModelConfig,
     infer_cfg: InferConfig,
     mesh: Mesh,
-) -> np.ndarray:
+    device_result: bool = False,
+):
     """Super-resolve ONE tile with its patch grid sharded over the mesh
     'data' axis: device s computes grid-row band s of the output mosaic
     from only its own input window (pre-padded halo included), zero
     communication during compute. Returns the [H, W, C_out] host mosaic
-    (numerics vs single-device: see module docstring)."""
+    (numerics vs single-device: see module docstring).
+
+    device_result=True instead returns (result, band_meta) with NO host
+    readback: result is the sharded [ndev, band_h_max, W, C_out] device
+    array and band_meta a list of (y0, band_h) per shard (band_h 0 marks
+    an empty shard whose duplicated output must be discarded). The
+    device-resident mesh ensemble consumes this to fold shard bands into
+    an on-device accumulator and read back ONCE."""
     from dsen2_tpu.infer.api import _validate_inputs
 
     _validate_inputs(rasters, lr_factor, cfg, infer_cfg)
@@ -253,6 +261,8 @@ def sr_tile_sharded(
         jax.device_put(jnp.asarray(pos_arr), shard),
         *(jax.device_put(jnp.asarray(w), shard) for w in windows),
     )
+    if device_result:
+        return result, band_meta
     result = np.asarray(result)  # [ndev, band_h_max, W, C]
     out = np.empty((h10, w10, cfg.out_channels), jnp.dtype(infer_cfg.output_dtype))
     for s, (y0, band_h) in enumerate(band_meta):

@@ -71,28 +71,43 @@ def warm_one(lr_factor: int, cfg, icfg, size: int, rows_per_band: int,
     )
     inputs = tuple(jax.ShapeDtypeStruct(s, jnp.dtype(in_dtype)) for s in shapes)
 
-    def compile_program(starts_shape, pos_shape, out_hw):
+    def compile_program(starts_shape, pos_shape, out_hw,
+                        window_shapes=None):
+        """window_shapes=None -> the whole-raster (pad_inputs=True) program;
+        otherwise the streaming-window (pad_inputs=False) program the
+        host-input banded path executes."""
+        ins = (
+            inputs
+            if window_shapes is None
+            else tuple(
+                jax.ShapeDtypeStruct(s, jnp.dtype(in_dtype))
+                for s in window_shapes
+            )
+        )
         sr_pipeline.lower(
             params,
-            inputs,
+            ins,
             jax.ShapeDtypeStruct(starts_shape, jnp.int32),
             jax.ShapeDtypeStruct(pos_shape, jnp.int32),
             cfg=cfg,
             infer_cfg=icfg,
             grids=grids,
             out_hw=out_hw,
+            pad_inputs=window_shapes is None,
         ).compile()
 
     jobs = []
     # 1. the one-jit whole-mosaic program (infer.api._run device_output path)
     batch = min(icfg.batch_size, grids[0].num_patches)
     starts, positions, _ = _prepare_schedule(grids, (size, size), interior, batch)
-    jobs.append((starts.shape, positions.shape, (size, size)))
+    jobs.append((starts.shape, positions.shape, (size, size), None))
 
-    # 2. the banded engine's per-band programs (infer/engine.py::sr_banded,
-    #    the host-output full-tile path) — mirror its band plan exactly.
+    # 2. the banded engine's per-band programs (infer/engine.py::sr_banded)
+    #    — mirror its band plan exactly, BOTH input modes: whole-raster
+    #    (device-resident callers: bench.py, the self-ensemble) and
+    #    streaming windows (host-input callers: the public API/CLIs).
     if rows_per_band:
-        from dsen2_tpu.infer.engine import plan_bands
+        from dsen2_tpu.infer.engine import band_window_rows, plan_bands
 
         pos_all = recompose_positions((size, size), interior)
         ny = len(grids[0].starts_i)
@@ -106,16 +121,25 @@ def warm_one(lr_factor: int, cfg, icfg, size: int, rows_per_band: int,
             band_h = int(sl[:, 0].max()) + interior - y_off
             n = sl.shape[0]
             nb = -(-n // bbatch)
-            key = (nb, band_h)
+            wins = tuple(
+                (
+                    (lambda w: w[1] - w[0])(band_window_rows(g, r0, r1)),
+                    shp[1] + 2 * g.border,
+                    shp[2],
+                )
+                for g, shp in zip(grids, shapes)
+            )
+            key = (nb, band_h, wins)
             if key in seen:
                 continue
             seen.add(key)
-            jobs.append((
-                (nb, bbatch, len(grids), 2), (nb, bbatch, 2), (band_h, size),
-            ))
+            starts_shape = (nb, bbatch, len(grids), 2)
+            pos_shape = (nb, bbatch, 2)
+            jobs.append((starts_shape, pos_shape, (band_h, size), None))
+            jobs.append((starts_shape, pos_shape, (band_h, size), wins))
 
-    for starts_shape, pos_shape, out_hw in jobs:
-        compile_program(starts_shape, pos_shape, out_hw)
+    for starts_shape, pos_shape, out_hw, wins in jobs:
+        compile_program(starts_shape, pos_shape, out_hw, wins)
     return len(jobs)
 
 

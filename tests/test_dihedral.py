@@ -130,6 +130,65 @@ class TestSelfEnsemble:
         assert len(calls) == 8  # every transform took the banded path
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
 
+    def test_banded_ensemble_accumulate_nonsquare_flush(self, tiny_params_2x,
+                                                        monkeypatch):
+        """The per-band accumulator (_ens_accumulate_bands) folds each band
+        of a TRANSFORMED mosaic into output space as a row- or
+        column-stripe. Non-square tiles exercise the transposed geometries
+        (odd rotations land column stripes) and 152 rows force an
+        edge-flush band; the result must match the small-tile path that
+        inverse-transforms whole mosaics."""
+        from dsen2_tpu.core.config import InferConfig
+        from dsen2_tpu.infer import api
+        from dsen2_tpu.infer.api import dsen2_20
+
+        cfg, params = tiny_params_2x
+        icfg = InferConfig(patch_size=32, border=4, batch_size=8)
+        rng = np.random.default_rng(823)
+        # 452 rows: 18 stride-24 grid rows + an edge-flush row -> TWO bands
+        # (default rows_per_band=16) with a flush-merged last band; 432
+        # cols: 18 exact rows on the transposed (odd-rotation) geometry ->
+        # two COLUMN stripes with nonzero offsets.
+        d10 = (rng.random((452, 432, 4)) * 2000).astype(np.float32)
+        d20 = (rng.random((226, 216, 6)) * 2000).astype(np.float32)
+        want = dsen2_20(d10, d20, params=params, infer_cfg=icfg, ensemble=True)
+        monkeypatch.setattr(api, "_BANDED_THRESHOLD_PX", 1)
+        got = dsen2_20(d10, d20, params=params, infer_cfg=icfg, ensemble=True)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
+
+    def test_banded_ensemble_never_materializes_full_mosaic(
+            self, tiny_params_2x, monkeypatch):
+        """Bounded-HBM contract: over the banded threshold, no per-transform
+        full mosaic may exist — every sr_pipeline output must be a band
+        strictly shorter than the image (plus the f32 accumulator)."""
+        from dsen2_tpu.core.config import InferConfig
+        from dsen2_tpu.infer import api, engine
+        from dsen2_tpu.infer.api import dsen2_20
+
+        cfg, params = tiny_params_2x
+        icfg = InferConfig(patch_size=32, border=4, batch_size=8)
+        rng = np.random.default_rng(824)
+        h = 432  # 18 grid rows -> two bands at rows_per_band=16
+        d10 = (rng.random((h, h, 4)) * 2000).astype(np.float32)
+        d20 = (rng.random((h // 2, h // 2, 6)) * 2000).astype(np.float32)
+
+        shapes = []
+        orig = engine.sr_pipeline
+
+        def spy(params, inputs, starts, positions, **kw):
+            out = orig(params, inputs, starts, positions, **kw)
+            shapes.append(tuple(out.shape))
+            return out
+
+        monkeypatch.setattr(engine, "sr_pipeline", spy)
+        monkeypatch.setattr(api, "_BANDED_THRESHOLD_PX", 1)
+        monkeypatch.setattr(engine, "_BANDED_THRESHOLD_PX", 1, raising=False)
+        dsen2_20(d10, d20, params=params, infer_cfg=icfg, ensemble=True)
+        assert shapes, "banded pipeline never ran"
+        assert all(s[0] < h for s in shapes), (
+            f"a full-height mosaic was materialized: {shapes}"
+        )
+
     def test_api_ensemble_runs_and_averages(self, rng, tiny_params_2x):
         """dsen2_20(ensemble=True) returns the mean of the 8 inverse-mapped
         predictions (checked against a manual loop over the public API)."""

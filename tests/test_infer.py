@@ -206,6 +206,8 @@ class TestBandedEngine:
             engine_keys.add((
                 tuple(starts.shape), tuple(positions.shape), kw["out_hw"],
                 tuple(i.dtype.name for i in inputs),
+                tuple(tuple(i.shape) for i in inputs),
+                kw.get("pad_inputs", True),
             ))
             return orig(params, inputs, starts, positions, **kw)
 
@@ -223,6 +225,8 @@ class TestBandedEngine:
                 warm_keys.add((
                     tuple(starts.shape), tuple(positions.shape), kw["out_hw"],
                     tuple(jax.numpy.dtype(i.dtype).name for i in inputs),
+                    tuple(tuple(i.shape) for i in inputs),
+                    kw.get("pad_inputs", True),
                 ))
                 return self
 
@@ -234,6 +238,63 @@ class TestBandedEngine:
         assert engine_keys, "engine spy recorded nothing"
         missing = engine_keys - warm_keys
         assert not missing, f"engine programs not covered by warm_cache: {missing}"
+
+    def test_windowed_staging_matches_device_inputs(self, tiny_cfg_2x):
+        """Host-array rasters stream per-band input WINDOWS (h2d overlapped
+        with compute); device-array rasters take the whole-raster path. The
+        two modes must be bit-identical — including at the image top/bottom
+        where the window regenerates the symmetric halo, and at an
+        edge-flush last row (152/24 does not divide)."""
+        rng = np.random.default_rng(830)  # local: keep the shared stream stable
+        from dsen2_tpu.infer.engine import sr_banded
+        from dsen2_tpu.infer.api import stage_raster
+
+        for h, w in ((160, 96), (152, 96)):
+            d10 = (rng.random((h, w, 4)) * 8000).astype(np.float32)
+            d20 = (rng.random((h // 2, w // 2, 6)) * 8000).astype(np.float32)
+            params = s2net.init_params(jax.random.PRNGKey(31), tiny_cfg_2x)
+            icfg = InferConfig(patch_size=32, border=4, batch_size=4,
+                               precision="highest")
+            windowed = sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg,
+                                 rows_per_band=2)
+            whole = sr_banded([stage_raster(d10), stage_raster(d20)], 2,
+                              tiny_cfg_2x, params, icfg, rows_per_band=2)
+            np.testing.assert_array_equal(windowed, whole)
+
+    def test_windowed_staging_uint16_matches(self, tiny_cfg_2x):
+        """Compact uint16 staging composes with window streaming: windows
+        ship as uint16 and cast on device, identical to the device-input
+        whole-raster path on the same values."""
+        rng = np.random.default_rng(831)  # local: keep the shared stream stable
+        from dsen2_tpu.infer.engine import sr_banded
+        from dsen2_tpu.infer.api import stage_raster
+
+        d10 = (rng.random((160, 96, 4)) * 12000).astype(np.uint16)
+        d20 = (rng.random((80, 48, 6)) * 12000).astype(np.uint16)
+        params = s2net.init_params(jax.random.PRNGKey(32), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4,
+                           precision="highest")
+        windowed = sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg,
+                             rows_per_band=2)
+        whole = sr_banded([stage_raster(d10), stage_raster(d20)], 2,
+                          tiny_cfg_2x, params, icfg, rows_per_band=2)
+        np.testing.assert_array_equal(windowed, whole)
+
+    def test_windowed_staging_lookahead_zero(self, tiny_cfg_2x):
+        """stage_lookahead=0 (pure just-in-time staging) must still be
+        correct — the lookahead is a performance knob only."""
+        rng = np.random.default_rng(832)  # local: keep the shared stream stable
+        from dsen2_tpu.infer.engine import sr_banded
+
+        d10 = (rng.random((160, 96, 4)) * 8000).astype(np.float32)
+        d20 = (rng.random((80, 48, 6)) * 8000).astype(np.float32)
+        params = s2net.init_params(jax.random.PRNGKey(33), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4,
+                           precision="highest")
+        want = _run([d10, d20], 2, tiny_cfg_2x, params, icfg)
+        got = sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg,
+                        rows_per_band=2, stage_lookahead=0)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
 
     def test_flush_row_merged(self, rng, tiny_cfg_2x):
         """Image height not divisible by the interior -> the edge-flush row
@@ -381,10 +442,11 @@ class TestCompactInputStaging:
         assert got.dtype == np.float32
         np.testing.assert_array_equal(got, want)
 
-    def test_uint16_bf16_compute_bit_identical_to_f32_staging(self, rng, tiny_cfg_2x):
+    def test_uint16_bf16_compute_bit_identical_to_f32_staging(self, tiny_cfg_2x):
         """With compute_dtype='bfloat16' the compact path casts uint16->bf16
         ON DEVICE instead of via host f32; u16->f32 is exact, so the two
         staging routes must still agree bit-for-bit."""
+        rng = np.random.default_rng(833)  # local: keep the shared stream stable
         d10, d20 = self._scene_u16(rng)
         params = s2net.init_params(jax.random.PRNGKey(24), tiny_cfg_2x)
         icfg = InferConfig(patch_size=64, border=8, batch_size=4,

@@ -291,6 +291,48 @@ class TestSingleTileSharded:
         got = _run([d10, d20], 2, cfg, params, icfg, mesh=make_mesh(data=8))
         np.testing.assert_array_equal(got, want)
 
+    def test_mesh_ensemble_device_resident_matches_single(self):
+        """The mesh ensemble folds every shard's band into an on-device f32
+        accumulator (one readback total) — it must agree with the
+        single-device ensemble to f32 accumulation-order tolerance, on a
+        square AND a non-square (odd rotations transpose the band
+        decomposition) scene."""
+        rng = np.random.default_rng(834)  # local: keep the shared stream stable
+        from dsen2_tpu.infer.api import _run_ensembled
+
+        cfg, params, icfg = self._cfg()
+        mesh = make_mesh(data=8)
+        for h, w in ((64, 64), (40, 96)):
+            d10 = (rng.random((h, w, 4)) * 5000).astype(np.float32)
+            d20 = (rng.random((h // 2, w // 2, 6)) * 5000).astype(np.float32)
+            want = _run_ensembled([d10, d20], 2, cfg, params, icfg)
+            got = _run_ensembled([d10, d20], 2, cfg, params, icfg, mesh=mesh)
+            assert got.dtype == want.dtype
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=0.05)
+
+    def test_mesh_ensemble_single_readback(self, monkeypatch):
+        """The device-resident mesh ensemble must perform exactly 8 sharded
+        calls with device_result=True and NO per-transform host mosaic
+        assembly."""
+        rng = np.random.default_rng(835)  # local: keep the shared stream stable
+        from dsen2_tpu.infer.api import _run_ensembled
+        from dsen2_tpu.parallel import inference as pinf
+
+        cfg, params, icfg = self._cfg()
+        mesh = make_mesh(data=8)
+        calls = []
+        orig = pinf.sr_tile_sharded
+
+        def spy(*a, **kw):
+            calls.append(kw.get("device_result", False))
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(pinf, "sr_tile_sharded", spy)
+        d10 = (rng.random((64, 64, 4)) * 5000).astype(np.float32)
+        d20 = (rng.random((32, 32, 6)) * 5000).astype(np.float32)
+        _run_ensembled([d10, d20], 2, cfg, params, icfg, mesh=mesh)
+        assert calls == [True] * 8
+
     def test_mesh_with_device_output_raises(self, rng):
         """device_output=True promises a device-resident mosaic; the sharded
         path assembles on host, so the combination must be an explicit error

@@ -175,13 +175,17 @@ class TestBandedEngine:
         assert len(rest) + 1 == total  # one pipeline call per band overall
         assert first[1] == 0  # first band starts at row 0
 
-    def test_warm_cache_jobs_cover_engine_programs(self, rng, tiny_cfg_2x,
-                                                   monkeypatch):
+    @pytest.mark.parametrize("lr_factor", [2, 6])
+    def test_warm_cache_jobs_cover_engine_programs(self, tiny_cfg_2x,
+                                                   tiny_cfg_6x, monkeypatch,
+                                                   lr_factor):
         """scripts/warm_cache.py primes the compile cache by mirroring the
         banded engine's program shapes; if its derivation drifts, priming
         silently turns into cache misses. Assert the program keys sr_banded
-        actually executes are a subset of the jobs warm_one compiles for
-        the same geometry."""
+        actually executes — including the round-5 streaming-window
+        (pad_inputs=False) programs, whose window HEIGHTS key the HLO —
+        are a subset of the jobs warm_one compiles for the same geometry,
+        for both the 2x and the 3-raster 6x pipelines."""
         import importlib.util
         import os
 
@@ -195,9 +199,25 @@ class TestBandedEngine:
         wc = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(wc)
 
+        rng = np.random.default_rng(836)  # local: keep the shared stream stable
         size, rows = 192, 2
-        icfg = InferConfig(patch_size=32, border=4, batch_size=4,
-                           precision="highest")
+        if lr_factor == 2:
+            cfg = tiny_cfg_2x
+            icfg = InferConfig(patch_size=32, border=4, batch_size=4,
+                               precision="highest")
+            rasters = [
+                (rng.random((size, size, 4)) * 8000).astype(np.uint16),
+                (rng.random((size // 2, size // 2, 6)) * 8000).astype(np.uint16),
+            ]
+        else:
+            cfg = tiny_cfg_6x
+            icfg = InferConfig(patch_size=24, border=6, batch_size=4,
+                               precision="highest")
+            rasters = [
+                (rng.random((size, size, 4)) * 8000).astype(np.uint16),
+                (rng.random((size // 2, size // 2, 6)) * 8000).astype(np.uint16),
+                (rng.random((size // 6, size // 6, 2)) * 8000).astype(np.uint16),
+            ]
 
         engine_keys = set()
         orig = engine.sr_pipeline
@@ -212,10 +232,8 @@ class TestBandedEngine:
             return orig(params, inputs, starts, positions, **kw)
 
         monkeypatch.setattr(engine, "sr_pipeline", spy)
-        d10 = (rng.random((size, size, 4)) * 8000).astype(np.uint16)
-        d20 = (rng.random((size // 2, size // 2, 6)) * 8000).astype(np.uint16)
-        params = s2net.init_params(jax.random.PRNGKey(30), tiny_cfg_2x)
-        engine.sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg,
+        params = s2net.init_params(jax.random.PRNGKey(30), cfg)
+        engine.sr_banded(rasters, lr_factor, cfg, params, icfg,
                          rows_per_band=rows)
 
         warm_keys = set()
@@ -234,7 +252,7 @@ class TestBandedEngine:
                 return None
 
         monkeypatch.setattr(api, "sr_pipeline", Recorder())
-        wc.warm_one(2, tiny_cfg_2x, icfg, size, rows, in_dtype="uint16")
+        wc.warm_one(lr_factor, cfg, icfg, size, rows, in_dtype="uint16")
         assert engine_keys, "engine spy recorded nothing"
         missing = engine_keys - warm_keys
         assert not missing, f"engine programs not covered by warm_cache: {missing}"
@@ -295,6 +313,31 @@ class TestBandedEngine:
         got = sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg,
                         rows_per_band=2, stage_lookahead=0)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-3)
+
+    def test_windowed_stager_exception_propagates(self, tiny_cfg_2x,
+                                                  monkeypatch):
+        """An error raised while building/staging a window on the worker
+        thread must surface to the caller (not hang or be swallowed)."""
+        from dsen2_tpu.infer import engine
+
+        rng = np.random.default_rng(837)  # local: keep the shared stream stable
+        d10 = (rng.random((160, 96, 4)) * 8000).astype(np.float32)
+        d20 = (rng.random((80, 48, 6)) * 8000).astype(np.float32)
+        params = s2net.init_params(jax.random.PRNGKey(34), tiny_cfg_2x)
+        icfg = InferConfig(patch_size=32, border=4, batch_size=4,
+                           precision="highest")
+
+        calls = []
+
+        def boom(raster, grid, w0, w1):
+            calls.append(1)
+            raise RuntimeError("staging failed")
+
+        monkeypatch.setattr(engine, "_stage_window", boom)
+        with pytest.raises(RuntimeError, match="staging failed"):
+            engine.sr_banded([d10, d20], 2, tiny_cfg_2x, params, icfg,
+                             rows_per_band=2)
+        assert calls  # the stager actually ran on the worker
 
     def test_flush_row_merged(self, rng, tiny_cfg_2x):
         """Image height not divisible by the interior -> the edge-flush row

@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(8x compute; boosts accuracy for orientation-robust "
                         "weights). Runs device-resident: one averaged readback, "
                         "and --output-dtype quantizes only the final mean")
+    p.add_argument("--mesh", type=int, default=0, metavar="N",
+                   help="shard the tile's patch-grid rows over N devices "
+                        "(jax.sharding data-axis mesh; 0 = single device). "
+                        "Each device computes its own output band from its "
+                        "own input window — no collectives during conv "
+                        "(parallel/inference.py::sr_tile_sharded)")
     return p
 
 
@@ -122,17 +128,24 @@ def main(argv=None) -> int:
     icfg2 = InferConfig(patch_size=128, border=8, output_dtype=args.output_dtype)
     icfg6 = InferConfig(patch_size=192, border=12, output_dtype=args.output_dtype)
 
+    mesh = None
+    if args.mesh > 1:
+        from dsen2_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=args.mesh)
+        print(f"Sharding the patch grid over {args.mesh} devices")
+
     sr60 = None
     if args.run_60 and tile.data60 is not None and tile.data20 is not None:
         print("Super-resolving the 60m data into 10m bands")
         sr60 = dsen2_60(tile.data10, tile.data20, tile.data60, deep=args.deep,
-                        ensemble=args.ensemble, infer_cfg=icfg6)
+                        ensemble=args.ensemble, infer_cfg=icfg6, mesh=mesh)
 
     sr20 = None
     if tile.data20 is not None:
         print("Super-resolving the 20m data into 10m bands")
         sr20 = dsen2_20(tile.data10, tile.data20, deep=args.deep,
-                        ensemble=args.ensemble, infer_cfg=icfg2)
+                        ensemble=args.ensemble, infer_cfg=icfg2, mesh=mesh)
 
     if sr20 is None:
         print("No super-resolution performed, exiting")

@@ -172,6 +172,21 @@ def apply(
         warnings.warn("use_pallas requires an even image height; using XLA convs")
         use_pallas = False
 
+    if use_pallas and cfg.feature_size > 128:
+        # VMEM feasibility gate: the chain kernel keeps double-buffered
+        # [tile_rows+halo, W, F] activation windows in scoped VMEM; at 256
+        # features the scoped allocation exceeds the 16 MB limit and the
+        # TPU compiler rejects the program outright (measured: 35.9 MB at
+        # the deep nets' 128-px patches). The kernel was built and wins at
+        # the shallow nets' 128 features; wider nets take XLA convs.
+        import warnings
+
+        warnings.warn(
+            "use_pallas: the fused kernel's VMEM window does not fit above "
+            "128 features; this config uses XLA convs"
+        )
+        use_pallas = False
+
     scan_xs = params["blocks"]
     if use_pallas:
         h = x.shape[1]

@@ -10,7 +10,10 @@ when the averaged mosaic is in host numpy (readback included).
 Env: BENCH_SIZE (default 10980), BENCH_NET ("6x" default — the head whose
 ensemble accuracy gain is largest, docs/GENERALIZATION.md; "2x"),
 BENCH_DEEP (0 default), BENCH_PRECISION (default "high"),
-BENCH_OUTPUT_DTYPE (default "uint16": compact readback of the mean).
+BENCH_OUTPUT_DTYPE (default "uint16": compact readback of the mean),
+BENCH_SINGLE_RUN=1 (report the first run — includes any residual compiles;
+for the ~25-min-per-pass deep configs where a second pass doubles chip
+occupancy for little precision).
 
 Prints one JSON line.
 """
@@ -77,9 +80,12 @@ def main() -> None:
     warm_seconds = time.time() - t0
     assert np.isfinite(out.astype(np.float32)).all()
 
-    t0 = time.time()
-    out = run()
-    seconds = time.time() - t0
+    if os.environ.get("BENCH_SINGLE_RUN", "0") == "1":
+        seconds = warm_seconds
+    else:
+        t0 = time.time()
+        out = run()
+        seconds = time.time() - t0
 
     stats = jax.devices()[0].memory_stats() or {}
     peak_gb = stats.get("peak_bytes_in_use")

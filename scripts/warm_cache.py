@@ -22,7 +22,9 @@ API will look up. Run once after cloning (or after a JAX upgrade):
 `python scripts/warm_cache.py`.
 
 Env: WARM_SIZE (default 10980), WARM_DEEP_SIZE (default 1830; 0 skips),
-WARM_PRECISION (default "high"), WARM_BATCH2/WARM_BATCH6 (64/32),
+WARM_PRECISIONS (default "high,default": the bench/parity class AND the
+Pallas-routed turbo class bench.py's turbo row executes; WARM_PRECISION
+is accepted as a single-value alias), WARM_BATCH2/WARM_BATCH6 (64/32),
 WARM_ROWS_PER_BAND (default 16, the sr_banded default; 0 skips banded),
 WARM_INPUT_DTYPES (default "uint16,float32" — input dtype keys the HLO;
 uint16 is the compact-staging production/bench path).
@@ -146,7 +148,14 @@ def warm_one(lr_factor: int, cfg, icfg, size: int, rows_per_band: int,
 def main() -> int:
     size = int(os.environ.get("WARM_SIZE", "10980"))
     deep_size = int(os.environ.get("WARM_DEEP_SIZE", "1830"))
-    precision = os.environ.get("WARM_PRECISION", "high")
+    precisions = [
+        t.strip()
+        for t in os.environ.get(
+            "WARM_PRECISIONS",
+            os.environ.get("WARM_PRECISION", "high,default"),
+        ).split(",")
+        if t.strip()
+    ]
     rows_per_band = int(os.environ.get("WARM_ROWS_PER_BAND", "16"))
 
     import jax
@@ -155,35 +164,39 @@ def main() -> int:
 
     from dsen2_tpu.core.config import InferConfig, dsen2_2x, dsen2_6x
 
-    jobs = [
-        ("DSen2 2x", 2, dsen2_2x(False), InferConfig(
+    jobs = []
+    for precision in precisions:
+        jobs += [
+            ("DSen2 2x", 2, dsen2_2x(False), InferConfig(
+                patch_size=128, border=8,
+                batch_size=int(os.environ.get("WARM_BATCH2", "64")),
+                precision=precision), size, rows_per_band),
+            ("DSen2_60 6x", 6, dsen2_6x(False), InferConfig(
+                patch_size=192, border=12,
+                batch_size=int(os.environ.get("WARM_BATCH6", "32")),
+                precision=precision), size, rows_per_band),
+        ]
+        deep_icfg2 = InferConfig(
             patch_size=128, border=8,
-            batch_size=int(os.environ.get("WARM_BATCH2", "64")),
-            precision=precision), size, rows_per_band),
-        ("DSen2_60 6x", 6, dsen2_6x(False), InferConfig(
+            batch_size=int(os.environ.get("BENCH_DEEP_BATCH", "16")),
+            precision=precision)
+        deep_icfg6 = InferConfig(
             patch_size=192, border=12,
-            batch_size=int(os.environ.get("WARM_BATCH6", "32")),
-            precision=precision), size, rows_per_band),
-    ]
-    deep_icfg2 = InferConfig(
-        patch_size=128, border=8,
-        batch_size=int(os.environ.get("BENCH_DEEP_BATCH", "16")),
-        precision=precision)
-    deep_icfg6 = InferConfig(
-        patch_size=192, border=12,
-        batch_size=int(os.environ.get("BENCH_DEEP_BATCH6", "8")),
-        precision=precision)
-    if deep_size:
-        jobs.append(("VDSen2 2x", 2, dsen2_2x(True), deep_icfg2, deep_size, 0))
-        jobs.append(("VDSen2_60 6x", 6, dsen2_6x(True), deep_icfg6, deep_size, 0))
-    if os.environ.get("WARM_DEEP_FULL", "0") == "1":
-        # The measured deep full-tile path (BENCH_DEEP_FULL=1 bench.py /
-        # docs/PERFORMANCE.md): both VDSen2 heads through the banded engine
-        # at WARM_SIZE.
-        jobs.append(("VDSen2 2x banded", 2, dsen2_2x(True), deep_icfg2,
-                     size, rows_per_band))
-        jobs.append(("VDSen2_60 6x banded", 6, dsen2_6x(True), deep_icfg6,
-                     size, rows_per_band))
+            batch_size=int(os.environ.get("BENCH_DEEP_BATCH6", "8")),
+            precision=precision)
+        if deep_size:
+            jobs.append(("VDSen2 2x", 2, dsen2_2x(True), deep_icfg2,
+                         deep_size, 0))
+            jobs.append(("VDSen2_60 6x", 6, dsen2_6x(True), deep_icfg6,
+                         deep_size, 0))
+        if os.environ.get("WARM_DEEP_FULL", "0") == "1":
+            # The measured deep full-tile path (BENCH_DEEP_FULL=1 bench.py /
+            # docs/PERFORMANCE.md): both VDSen2 heads through the banded
+            # engine at WARM_SIZE.
+            jobs.append(("VDSen2 2x banded", 2, dsen2_2x(True), deep_icfg2,
+                         size, rows_per_band))
+            jobs.append(("VDSen2_60 6x banded", 6, dsen2_6x(True), deep_icfg6,
+                         size, rows_per_band))
 
     in_dtypes = [
         t.strip()
@@ -195,7 +208,7 @@ def main() -> int:
         for in_dtype in in_dtypes:
             t0 = time.time()
             n = warm_one(lr_factor, cfg, icfg, sz, rows, in_dtype=in_dtype)
-            print(f"warmed {name} @ {sz} ({precision}, {in_dtype} in): "
+            print(f"warmed {name} @ {sz} ({icfg.precision}, {in_dtype} in): "
                   f"{n} programs, {time.time() - t0:.1f} s")
     return 0
 

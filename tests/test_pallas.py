@@ -212,3 +212,23 @@ def test_odd_height_falls_back_to_xla(rng):
                           use_pallas=True)
     want = s2net.apply(params, (x10, x20), cfg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_wide_features_fall_back_to_xla(rng):
+    """feature_size > 128 (the deep nets' 256) exceeds the kernel's scoped
+    VMEM window — the TPU compiler rejects the program outright (measured:
+    35.9 MB vs the 16 MB limit), so the route must warn and use XLA convs
+    instead of shipping a config that cannot compile on hardware."""
+    from dsen2_tpu.core.config import ModelConfig
+    from dsen2_tpu.models import s2net
+
+    cfg = ModelConfig(in_channels=(4, 6), num_layers=2, feature_size=256)
+    params = s2net.init_params(jax.random.PRNGKey(1), cfg)
+    x10 = jnp.asarray(rng.standard_normal((1, 16, 8, 4)).astype(np.float32))
+    x20 = jnp.asarray(rng.standard_normal((1, 16, 8, 6)).astype(np.float32))
+    with pytest.warns(UserWarning, match="does not fit above"):
+        got = s2net.apply(params, (x10, x20), cfg, precision="default",
+                          use_pallas=True)
+    want = s2net.apply(params, (x10, x20), cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-4)

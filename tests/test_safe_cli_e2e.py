@@ -184,6 +184,30 @@ class TestS2SupresCLIEndToEnd:
         for v in bands.values():
             assert v.shape == (360, 360) and np.isfinite(v).all()
 
+    def test_full_tile_cli_mesh(self, fake_gdal, tmp_path, monkeypatch):
+        """--mesh N shards the patch grid over the (virtual) device mesh;
+        the output must equal the single-device CLI run bit for bit (the
+        default geometry's per-shard chunking coincides here)."""
+        from dsen2_tpu.cli.s2_supres import main
+
+        monkeypatch.chdir(tmp_path)
+        rc = main(["FAKE_MTD_MSIL1C.xml", "mesh.tif",
+                   "--roi_x_y", "0,0,359,359", "--mesh", "8"])
+        assert rc == 0
+        rc = main(["FAKE_MTD_MSIL1C.xml", "single.tif",
+                   "--roi_x_y", "0,0,359,359"])
+        assert rc == 0
+        import glob
+
+        zm = np.load(glob.glob(str(tmp_path / "mesh.tif*"))[0],
+                     allow_pickle=True)["bands"].item()
+        zs = np.load(glob.glob(str(tmp_path / "single.tif*"))[0],
+                     allow_pickle=True)["bands"].item()
+        assert set(zm) == set(zs)
+        for k in zm:
+            assert np.isfinite(zm[k]).all()
+            np.testing.assert_allclose(zm[k], zs[k], rtol=2e-4, atol=1e-2)
+
     def test_list_bands(self, fake_gdal, capsys):
         from dsen2_tpu.cli.s2_supres import main
 

@@ -208,6 +208,31 @@ class TestS2SupresCLIEndToEnd:
             assert np.isfinite(zm[k]).all()
             np.testing.assert_allclose(zm[k], zs[k], rtol=2e-4, atol=1e-2)
 
+    def test_full_tile_cli_mesh_ensemble(self, fake_gdal, tmp_path,
+                                         monkeypatch):
+        """--mesh with --ensemble routes through the device-resident mesh
+        ensemble (per-shard bands folded into the on-device accumulator,
+        one readback) and must agree with the single-device ensemble."""
+        from dsen2_tpu.cli.s2_supres import main
+
+        monkeypatch.chdir(tmp_path)
+        rc = main(["FAKE_MTD_MSIL1C.xml", "me.tif",
+                   "--roi_x_y", "0,0,359,359", "--mesh", "8", "--ensemble"])
+        assert rc == 0
+        rc = main(["FAKE_MTD_MSIL1C.xml", "se.tif",
+                   "--roi_x_y", "0,0,359,359", "--ensemble"])
+        assert rc == 0
+        import glob
+
+        zm = np.load(glob.glob(str(tmp_path / "me.tif*"))[0],
+                     allow_pickle=True)["bands"].item()
+        zs = np.load(glob.glob(str(tmp_path / "se.tif*"))[0],
+                     allow_pickle=True)["bands"].item()
+        assert set(zm) == set(zs)
+        for k in zm:
+            assert np.isfinite(zm[k]).all()
+            np.testing.assert_allclose(zm[k], zs[k], rtol=2e-4, atol=0.05)
+
     def test_list_bands(self, fake_gdal, capsys):
         from dsen2_tpu.cli.s2_supres import main
 

@@ -50,10 +50,14 @@ def write_bands(
     geotransform: Optional[tuple] = None,
     projection: Optional[str] = None,
 ) -> str:
-    """Write named bands to `output_file`. Falls back to a compressed .npz
-    keyed by description when the requested GDAL driver cannot create files
-    or GDAL is unavailable (reference: s2_tiles_supres.py:350-360,419-420).
-    Returns the format actually used."""
+    """Write named bands to `output_file`. GTiff output works WITHOUT
+    GDAL: the in-tree pure-Python GeoTIFF/BigTIFF writer (io/geotiff.py)
+    takes over, so the reference CLI's default format
+    (s2_tiles_supres.py:396-413) is produced on GDAL-less hosts too.
+    Other formats fall back to a compressed .npz keyed by description
+    when their GDAL driver is unavailable (reference:
+    s2_tiles_supres.py:350-360,419-420). Returns the format actually
+    used."""
     driver = None
     if output_format != "npz":
         try:
@@ -66,6 +70,17 @@ def write_bands(
                     driver = cand
         except ImportError:
             pass
+        if driver is None and output_format == "GTiff":
+            from dsen2_tpu.io.geotiff import write_geotiff
+
+            variant = write_geotiff(
+                output_file,
+                bands,
+                geotransform=geotransform,
+                projection_wkt=projection,
+            )
+            print(f"GDAL unavailable; wrote {variant} with the built-in writer")
+            return variant
         if driver is None:
             print(f"cannot create {output_format} files; writing npz fallback")
             output_format = "npz"

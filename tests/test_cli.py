@@ -290,12 +290,26 @@ class TestS2SupresParser:
         assert args.run_60 and args.copy_original_bands
         assert args.output_file_format == "ENVI"
 
+    def test_gtiff_without_gdal_uses_builtin_writer(self, tmp_path, rng):
+        """No GDAL in this image: GTiff requests produce a real GeoTIFF via
+        the pure-Python writer (round 5), not an npz."""
+        from dsen2_tpu.io.writers import write_bands
+        from tiff_reader import read_tiff
+
+        bands = [("SR B5 (705 nm)", rng.random((10, 10)).astype(np.float64))]
+        out = str(tmp_path / "out.tif")
+        fmt = write_bands(out, bands, "GTiff")
+        assert fmt in ("GTiff", "BigTIFF")
+        got = read_tiff(out)
+        np.testing.assert_array_equal(got["bands"]["SR B5 (705 nm)"],
+                                      bands[0][1])
+
     def test_npz_fallback_writer(self, tmp_path, rng):
         from dsen2_tpu.io.writers import write_bands
 
         bands = [("SR B5 (705 nm)", rng.random((10, 10)).astype(np.float64))]
-        out = str(tmp_path / "out.tif")
-        fmt = write_bands(out, bands, "GTiff")  # no GDAL here -> npz
+        out = str(tmp_path / "out.img")
+        fmt = write_bands(out, bands, "HFA")  # non-GTiff, no GDAL -> npz
         assert fmt == "npz"
         z = np.load(out + ".npz" if os.path.exists(out + ".npz") else out, allow_pickle=True)
         assert "bands" in z

@@ -106,6 +106,16 @@ def fake_gdal(monkeypatch, rng):
     return {"ds10": ds10, "ds20": ds20, "ds60": ds60}
 
 
+
+def _read_tif_bands(path):
+    """Parse the CLI's pure-Python GeoTIFF output with the independent
+    spec-based reader (tests/tiff_reader.py)."""
+    from tiff_reader import read_tiff
+
+    t = read_tiff(str(path))
+    return t["bands"], t
+
+
 class TestReadSafe:
     def test_full_read_with_roi(self, fake_gdal):
         from dsen2_tpu.data.safe_reader import read_safe
@@ -138,9 +148,12 @@ class TestReadSafe:
 
 
 class TestS2SupresCLIEndToEnd:
-    def test_full_tile_cli_npz_output(self, fake_gdal, tmp_path, monkeypatch):
-        """Drive the CLI main() end to end: fake SAFE in -> SR out (npz
-        fallback), with --copy_original_bands and --run_60."""
+    def test_full_tile_cli_geotiff_output(self, fake_gdal, tmp_path,
+                                          monkeypatch):
+        """Drive the CLI main() end to end: fake SAFE in -> a REAL
+        georeferenced GeoTIFF out (the pure-Python writer takes over when
+        GDAL cannot create files), with --copy_original_bands and
+        --run_60."""
         from dsen2_tpu.cli.s2_supres import main
 
         monkeypatch.chdir(tmp_path)
@@ -151,12 +164,7 @@ class TestS2SupresCLIEndToEnd:
             ]
         )
         assert rc == 0
-        import glob
-
-        files = glob.glob(str(tmp_path / "out.tif*"))
-        assert files, "no output written"
-        z = np.load(files[0], allow_pickle=True)
-        bands = z["bands"].item()
+        bands, tif = _read_tif_bands(tmp_path / "out.tif")
         # 4 original 10m + 6 SR20 + 2 SR60
         assert len(bands) == 12
         sr_names = [k for k in bands if k.startswith("SR")]
@@ -164,6 +172,9 @@ class TestS2SupresCLIEndToEnd:
         for v in bands.values():
             assert v.shape == (360, 360)
             assert np.isfinite(v).all()
+        # georeferencing carried through: 10 m pixels, ROI-shifted origin
+        assert tif["pixel_scale"] == [10.0, 10.0, 0.0]
+        assert tif["tiepoint"][3:5] == [399960.0, 5000040.0]
 
     def test_full_tile_cli_ensemble(self, fake_gdal, tmp_path, monkeypatch):
         """--ensemble must run the 8-transform average through the same CLI
@@ -174,12 +185,7 @@ class TestS2SupresCLIEndToEnd:
         rc = main(["FAKE_MTD_MSIL1C.xml", "out.tif",
                    "--roi_x_y", "0,0,359,359", "--ensemble"])
         assert rc == 0
-        import glob
-
-        files = glob.glob(str(tmp_path / "out.tif*"))
-        assert files, "no output written"
-        z = np.load(files[0], allow_pickle=True)
-        bands = z["bands"].item()
+        bands, _ = _read_tif_bands(tmp_path / "out.tif")
         assert len([k for k in bands if k.startswith("SR")]) == 6
         for v in bands.values():
             assert v.shape == (360, 360) and np.isfinite(v).all()
@@ -197,12 +203,8 @@ class TestS2SupresCLIEndToEnd:
         rc = main(["FAKE_MTD_MSIL1C.xml", "single.tif",
                    "--roi_x_y", "0,0,359,359"])
         assert rc == 0
-        import glob
-
-        zm = np.load(glob.glob(str(tmp_path / "mesh.tif*"))[0],
-                     allow_pickle=True)["bands"].item()
-        zs = np.load(glob.glob(str(tmp_path / "single.tif*"))[0],
-                     allow_pickle=True)["bands"].item()
+        zm, _ = _read_tif_bands(tmp_path / "mesh.tif")
+        zs, _ = _read_tif_bands(tmp_path / "single.tif")
         assert set(zm) == set(zs)
         for k in zm:
             assert np.isfinite(zm[k]).all()
@@ -222,12 +224,8 @@ class TestS2SupresCLIEndToEnd:
         rc = main(["FAKE_MTD_MSIL1C.xml", "se.tif",
                    "--roi_x_y", "0,0,359,359", "--ensemble"])
         assert rc == 0
-        import glob
-
-        zm = np.load(glob.glob(str(tmp_path / "me.tif*"))[0],
-                     allow_pickle=True)["bands"].item()
-        zs = np.load(glob.glob(str(tmp_path / "se.tif*"))[0],
-                     allow_pickle=True)["bands"].item()
+        zm, _ = _read_tif_bands(tmp_path / "me.tif")
+        zs, _ = _read_tif_bands(tmp_path / "se.tif")
         assert set(zm) == set(zs)
         for k in zm:
             assert np.isfinite(zm[k]).all()

@@ -48,6 +48,33 @@ def have_gdal() -> bool:
         return False
 
 
+def _backend(data_file: str, what: str):
+    """The raster backend for one product: real GDAL when importable,
+    else the Pillow JPEG-2000 SAFE backend (data/safe_pil.py — same
+    dataset duck type, so every downstream step is shared). Raises the
+    historical ImportError when neither can read `data_file`."""
+    try:
+        from osgeo import gdal
+
+        return gdal
+    except ImportError as e:
+        from dsen2_tpu.data import safe_pil
+
+        if safe_pil.looks_like_safe(data_file):
+            if not safe_pil.available():
+                raise ImportError(
+                    f"{what} requires GDAL (osgeo) or Pillow with "
+                    "JPEG-2000 support; neither is available"
+                ) from e
+            return safe_pil.open_product(data_file)[0]
+        raise ImportError(
+            f"{what} requires GDAL (osgeo); this environment does not "
+            "provide it, and the path is not a SAFE-layout product the "
+            "built-in Pillow backend could read. Use the .mat/.npy "
+            "ingestion paths instead."
+        ) from e
+
+
 @dataclasses.dataclass(frozen=True)
 class SubdatasetInfo:
     name: str  # GDAL subdataset name (openable)
@@ -271,10 +298,7 @@ def scan_utm_zones(
     """UTM zones present in a product with their ROI coverage in 10 m pixels
     (reference: s2_tiles_supres.py:186-190), WITHOUT reading any raster
     data and without failing on an empty ROI/zone combination."""
-    try:
-        from osgeo import gdal
-    except ImportError as e:
-        raise ImportError("scanning SAFE products requires GDAL (osgeo)") from e
+    gdal = _backend(data_file, "scanning SAFE products")
 
     raster = gdal.Open(data_file)
     if raster is None:
@@ -302,14 +326,13 @@ def read_safe(
 
     Mirrors the reference pipeline end to end: subdataset classification,
     UTM-zone selection by coverage, ROI snap, band validation, windowed
-    ReadAsArray at /1, /2, /6 offsets (s2_tiles_supres.py:97-329)."""
-    try:
-        from osgeo import gdal
-    except ImportError as e:
-        raise ImportError(
-            "reading SAFE products requires GDAL (osgeo); this environment "
-            "does not provide it. Use the .mat/.npy ingestion paths instead."
-        ) from e
+    ReadAsArray at /1, /2, /6 offsets (s2_tiles_supres.py:97-329).
+
+    Works without GDAL for SAFE-layout products: the Pillow JPEG-2000
+    backend (data/safe_pil.py) presents the same dataset surface, so the
+    whole pipeline below is backend-agnostic (lon/lat ROIs still need
+    OSR and therefore GDAL)."""
+    gdal = _backend(data_file, "reading SAFE products")
 
     from dsen2_tpu.core.bands import SELECT_BANDS_20, SELECT_BANDS_60
 

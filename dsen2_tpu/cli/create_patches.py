@@ -4,7 +4,8 @@ archives using the Wald protocol.
 Capability match for training/create_patches.py (:19-330): four output modes
 (default random training patches, --test_data, --true_data, --write_images),
 --run_60, ROI selection snapped to 36 px, GNU-parallel-friendly (one tile per
-invocation). Inputs can be SAFE products (requires GDAL) or the bundled
+invocation). Inputs can be SAFE products (via GDAL, or GDAL-free
+through the Pillow JP2 backend, data/safe_pil.py) or the bundled
 .mat demo scenes (works everywhere), plus .npz files with im10/im20/im60.
 
 Usage:

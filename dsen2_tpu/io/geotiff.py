@@ -48,11 +48,14 @@ _SAMPLE_FORMAT = {"u": 1, "i": 2, "f": 3}
 
 
 def epsg_from_wkt(wkt: Optional[str]) -> Optional[int]:
-    """The EPSG code of a WKT CRS: the LAST AUTHORITY["EPSG", ...] node is
-    the code of the whole CRS (earlier ones describe the datum/axes)."""
+    """The EPSG code of a WKT CRS: the LAST AUTHORITY (WKT1) or ID (WKT2)
+    EPSG node is the code of the whole CRS (earlier ones describe the
+    datum/axes)."""
     if not wkt:
         return None
-    m = re.findall(r'AUTHORITY\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', wkt)
+    m = re.findall(
+        r'(?:AUTHORITY|ID)\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', wkt
+    )
     return int(m[-1]) if m else None
 
 

@@ -29,6 +29,11 @@ class TestEpsgFromWkt:
         assert epsg_from_wkt(None) is None
         assert epsg_from_wkt("PROJCS[x]") is None
 
+    def test_wkt2_id_node(self):
+        assert epsg_from_wkt(
+            'PROJCRS["WGS 84 / UTM zone 33N",ID["EPSG",32633]]'
+        ) == 32633
+
 
 class TestRoundTrip:
     def _bands(self, rng, dtype, n=3, h=13, w=10):

@@ -20,8 +20,9 @@ JP2 band files losslessly):
 data/safe_reader.py::read_safe falls back to this backend automatically
 when GDAL is absent, which makes the production CLI fully functional on
 a GDAL-less host: SAFE in (real JP2 decode) -> GeoTIFF out
-(io/geotiff.py). Lon/lat ROIs still need OSR (a map projection library);
-pixel ROIs and full-tile reads are supported here.
+(io/geotiff.py). Lon/lat ROIs are projected with the built-in UTM
+transverse Mercator (dsen2_tpu/geo/utm.py); pixel ROIs and full-tile
+reads need no projection at all.
 """
 
 from __future__ import annotations

@@ -229,28 +229,52 @@ def validate_bands(
 
 
 def _lonlat_to_pixel(ds, lon1, lat1, lon2, lat2) -> Tuple[float, float, float, float]:
-    """WGS84 lon/lat corners -> pixel coords via OSR + inverse geotransform
-    (reference: s2_tiles_supres.py:141-161)."""
-    from osgeo import osr
-
+    """WGS84 lon/lat corners -> pixel coords via the dataset CRS + inverse
+    geotransform (reference: s2_tiles_supres.py:141-161). Projection via
+    OSR when GDAL is present; otherwise the built-in UTM transverse
+    Mercator (dsen2_tpu/geo/utm.py) — every Sentinel-2 CRS is a UTM zone,
+    so lon/lat ROIs work GDAL-free too."""
     xoff, a, b, yoff, d, e = ds.GetGeoTransform()
-    srs = osr.SpatialReference()
-    srs.ImportFromWkt(ds.GetProjection())
-    srs_ll = osr.SpatialReference()
-    srs_ll.SetWellKnownGeogCS("WGS84")
-    # GDAL 3 honours CRS authority axis order (lat, lon for WGS84); force
-    # the traditional (lon, lat) order the reference's GDAL-2-era math uses.
-    for s in (srs, srs_ll):
-        if hasattr(s, "SetAxisMappingStrategy"):
-            s.SetAxisMappingStrategy(osr.OAMS_TRADITIONAL_GIS_ORDER)
-    ct = osr.CoordinateTransformation(srs_ll, srs)
 
-    def to_xy(lon, lat):
-        xp, yp, _ = ct.TransformPoint(lon, lat, 0.0)
+    def xy_to_pixel(xp, yp):
         xp -= xoff
         yp -= yoff
         det_inv = 1.0 / (a * e - d * b)
         return (e * xp - b * yp) * det_inv, (-d * xp + a * yp) * det_inv
+
+    try:
+        from osgeo import osr
+
+        srs = osr.SpatialReference()
+        srs.ImportFromWkt(ds.GetProjection())
+        srs_ll = osr.SpatialReference()
+        srs_ll.SetWellKnownGeogCS("WGS84")
+        # GDAL 3 honours CRS authority axis order (lat, lon for WGS84);
+        # force the traditional (lon, lat) order the reference's
+        # GDAL-2-era math uses.
+        for s in (srs, srs_ll):
+            if hasattr(s, "SetAxisMappingStrategy"):
+                s.SetAxisMappingStrategy(osr.OAMS_TRADITIONAL_GIS_ORDER)
+        ct = osr.CoordinateTransformation(srs_ll, srs)
+
+        def to_xy(lon, lat):
+            xp, yp, _ = ct.TransformPoint(lon, lat, 0.0)
+            return xy_to_pixel(xp, yp)
+
+    except ImportError:
+        from dsen2_tpu.geo.utm import utm_forward, zone_from_epsg
+        from dsen2_tpu.io.geotiff import epsg_from_wkt
+
+        epsg = epsg_from_wkt(ds.GetProjection())
+        if epsg is None:
+            raise ImportError(
+                "lon/lat ROIs without GDAL/OSR need a UTM CRS with an "
+                "EPSG code in the dataset projection"
+            )
+        zone, north = zone_from_epsg(epsg)
+
+        def to_xy(lon, lat):
+            return xy_to_pixel(*utm_forward(lon, lat, zone, north))
 
     x1, y1 = to_xy(lon1, lat1)
     x2, y2 = to_xy(lon2, lat2)
@@ -330,8 +354,8 @@ def read_safe(
 
     Works without GDAL for SAFE-layout products: the Pillow JPEG-2000
     backend (data/safe_pil.py) presents the same dataset surface, so the
-    whole pipeline below is backend-agnostic (lon/lat ROIs still need
-    OSR and therefore GDAL)."""
+    whole pipeline below is backend-agnostic, including lon/lat ROIs
+    (projected via OSR under GDAL, via dsen2_tpu/geo/utm.py without)."""
     gdal = _backend(data_file, "reading SAFE products")
 
     from dsen2_tpu.core.bands import SELECT_BANDS_20, SELECT_BANDS_60

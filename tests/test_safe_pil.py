@@ -87,10 +87,25 @@ class TestSafePilBackend:
         cov = scan_utm_zones(mtd)
         assert cov == {"UTM 33N": 360 * 360}
 
-    def test_lonlat_roi_needs_osr(self, product):
+    def test_lonlat_roi_without_osr(self, product):
+        """lon/lat ROIs project through the built-in UTM transverse
+        Mercator (geo/utm.py) when OSR is absent: the selected ROI must
+        equal the pixel-ROI selection of the same corners."""
+        from dsen2_tpu.geo.utm import utm_inverse
+
         mtd, _ = product
-        with pytest.raises(ImportError):
-            read_safe(mtd, roi_lon_lat=(13.0, 55.0, 13.1, 55.1))
+        ulx, uly = 399960.0, 5000040.0
+        # pixel corners (12, 12) and (131, 101) on the 10 m grid -> UTM
+        # metres -> WGS84 lon/lat (zone 33N)
+        # half-pixel offsets: exact pixel-corner metres truncate
+        # unstably through int() (same semantics as the reference's OSR
+        # path, s2_tiles_supres.py:161-166)
+        lon1, lat1 = utm_inverse(ulx + 12.5 * 10, uly - 12.5 * 10, 33, True)
+        lon2, lat2 = utm_inverse(ulx + 131.5 * 10, uly - 101.5 * 10, 33, True)
+        got = read_safe(mtd, roi_lon_lat=(lon1, lat1, lon2, lat2))
+        want = read_safe(mtd, roi_x_y=(12, 12, 131, 101))
+        assert got.roi == want.roi
+        np.testing.assert_array_equal(got.data10, want.data10)
 
 
 class TestCliEndToEndNoGdal:

@@ -22,11 +22,15 @@ def shifted_geotransform(geot: Sequence[float], xmin: int, ymin: int) -> tuple:
 
 def list_creatable_formats() -> List[str]:
     """Names of GDAL raster drivers that support creation
-    (reference: s2_tiles_supres.py:64-79)."""
+    (reference: s2_tiles_supres.py:64-79); without GDAL, the formats the
+    built-in writers produce."""
     try:
         from osgeo import gdal
     except ImportError:
-        return []
+        return [
+            "GTiff: GeoTIFF / BigTIFF (built-in pure-Python writer) (tif)",
+            "npz: compressed numpy archive (fallback) (npz)",
+        ]
     out = []
     for i in range(gdal.GetDriverCount()):
         drv = gdal.GetDriver(i)

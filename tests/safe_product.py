@@ -31,14 +31,14 @@ _TL_XML = """<?xml version="1.0" encoding="UTF-8"?>
 """
 
 
-def build_safe(root, rng, h10=360, epsg=32633, ulx=399960.0, uly=5000040.0,
-               tile="T33UUB", stamp="20170527T101031"):
-    """Create `<root>/S2A_MSIL1C_..._{tile}.SAFE` and return
-    (mtd_msil1c_xml_path, {short_band_name: uint16 [H, W] array})."""
+def add_granule(safe, rng, h10=360, epsg=32633, ulx=399960.0, uly=5000040.0,
+                tile="T33UUB", stamp="20170527T101031"):
+    """Add one granule (JP2 band files + MTD_TL.xml) to an existing SAFE
+    dir; returns {short_band_name: uint16 [H, W] array}. Older multi-
+    granule L1C products carry several granules, possibly in different
+    UTM zones — the zone-selection branch of the reference
+    (s2_tiles_supres.py:115-190)."""
     assert h10 % 6 == 0
-    safe = os.path.join(
-        str(root), f"S2A_MSIL1C_{stamp}_N0205_R122_{tile}_{stamp}.SAFE"
-    )
     granule = os.path.join(safe, "GRANULE", f"L1C_{tile}_A010601_{stamp}")
     img = os.path.join(granule, "IMG_DATA")
     os.makedirs(img)
@@ -69,6 +69,18 @@ def build_safe(root, rng, h10=360, epsg=32633, ulx=399960.0, uly=5000040.0,
     )
     with open(os.path.join(granule, "MTD_TL.xml"), "w") as f:
         f.write(_TL_XML.format(zone=zone, epsg=epsg, sizes=sizes, geopos=geopos))
+    return arrays
+
+
+def build_safe(root, rng, h10=360, epsg=32633, ulx=399960.0, uly=5000040.0,
+               tile="T33UUB", stamp="20170527T101031"):
+    """Create `<root>/S2A_MSIL1C_..._{tile}.SAFE` and return
+    (mtd_msil1c_xml_path, {short_band_name: uint16 [H, W] array})."""
+    safe = os.path.join(
+        str(root), f"S2A_MSIL1C_{stamp}_N0205_R122_{tile}_{stamp}.SAFE"
+    )
+    arrays = add_granule(safe, rng, h10=h10, epsg=epsg, ulx=ulx, uly=uly,
+                         tile=tile, stamp=stamp)
 
     mtd = os.path.join(safe, "MTD_MSIL1C.xml")
     with open(mtd, "w") as f:

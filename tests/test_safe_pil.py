@@ -108,6 +108,48 @@ class TestSafePilBackend:
         np.testing.assert_array_equal(got.data10, want.data10)
 
 
+class TestMultiZoneProduct:
+    @pytest.fixture(scope="class")
+    def two_zone(self, tmp_path_factory):
+        """An (older-style) multi-granule product spanning TWO UTM zones,
+        with different tile sizes so coverage-based selection has a
+        winner."""
+        from safe_product import add_granule, build_safe
+
+        rng = np.random.default_rng(841)  # local: keep the shared stream stable
+        root = tmp_path_factory.mktemp("safe2")
+        mtd, arr33 = build_safe(root, rng, h10=360, epsg=32633, tile="T33UUB")
+        import os
+
+        safe = os.path.dirname(mtd)
+        arr34 = add_granule(safe, rng, h10=120, epsg=32634, tile="T34VCH",
+                            ulx=300000.0, uly=6200040.0,
+                            stamp="20170527T101032")
+        return mtd, arr33, arr34
+
+    def test_coverage_selection(self, two_zone):
+        """Unrequested: the zone whose dataset covers the larger ROI wins
+        (s2_tiles_supres.py:115-190 semantics), here zone 33 (360^2 vs
+        120^2)."""
+        mtd, arr33, _ = two_zone
+        cov = scan_utm_zones(mtd)
+        assert cov == {"UTM 33N": 360 * 360, "UTM 34N": 120 * 120}
+        tile = read_safe(mtd)
+        assert tile.utm == "UTM 33N"
+        np.testing.assert_array_equal(tile.data10[:, :, 0], arr33["B4"])
+
+    def test_select_utm_zone(self, two_zone):
+        """--select_UTM must override coverage and pick the smaller zone,
+        with ALL resolutions coming from that zone's granule."""
+        mtd, _, arr34 = two_zone
+        tile = read_safe(mtd, select_utm_zone="UTM 34N", run_60=True)
+        assert tile.utm == "UTM 34N"
+        assert tile.data10.shape == (120, 120, 4)
+        np.testing.assert_array_equal(tile.data10[:, :, 0], arr34["B4"])
+        np.testing.assert_array_equal(tile.data60[:, :, 0], arr34["B1"][:20, :20])
+        assert tile.geotransform[0] == 300000.0
+
+
 class TestCliEndToEndNoGdal:
     def test_safe_to_geotiff(self, product, tmp_path, monkeypatch):
         """The FULL production workflow with zero GDAL: real SAFE layout
